@@ -1,0 +1,43 @@
+"""Spider — the user extension point (reference `Spider` trait,
+src/spider.rs:101-130: start_urls(), async parse(&self, Response, &State)).
+
+parse is `&self` in the reference (stateless, note at src/spider.rs:125-127)
+— here it is a pure pandas batch function, which is the same contract made
+explicit: no per-row Python, no shared mutable state, safe to run on any
+executor at any parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_core_spark.operators.parse import default_parse_frame
+
+
+@dataclass
+class Spider:
+    name: str = "spider"
+    start_urls: list[str] = field(default_factory=list)
+    # (pd.DataFrame[url, html]) -> pd.DataFrame[title, text, links]
+    parse_frame: Callable[[pd.DataFrame], pd.DataFrame] = staticmethod(
+        default_parse_frame
+    )
+
+    def build_items(self, parsed: DataFrame, epoch: int) -> DataFrame:
+        """Parsed rows → items DataFrame (ITEMS schema). Override for custom
+        item shapes (the reference's #[scraped_item] structs,
+        src/lib.rs:13-17)."""
+        return parsed.select(
+            F.col("url"),
+            F.col("parsed.title").alias("title"),
+            F.col("parsed.text").alias("text"),
+            F.col("lang"),
+            F.size("parsed.links").cast("int").alias("n_links"),
+            F.lit(epoch).cast("int").alias("epoch"),
+            F.spark_partition_id().alias("partition_id"),
+        )

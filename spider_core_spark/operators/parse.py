@@ -1,0 +1,88 @@
+"""Parse stage: vectorized text/link extraction + link candidate expansion.
+
+The reference hands each Response to `Spider::parse` on a pool of parser
+workers (src/crawler/response_parser.rs:104-132, user parse invoked at
+:110), then splits the ParseOutput into items and new requests
+(:267-369, enqueue order = emission order :295-328). Here parse is one
+Arrow-batched pandas UDF over (url, html) producing a struct
+(title, text, links); links explode positionally so the discovery order
+(parent wave rank, link position) survives into the frontier `seq`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from spider_core_spark import schemas
+from spider_core_spark.functions import url as urlfn
+from spider_core_spark.functions.textextract import extract, resolve_link
+from spider_core_spark.operators.frontier import child_seq_col
+
+
+def default_parse_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(url, html) batch → (title, text, links) batch; links resolved to
+    absolute form. Pure function of its inputs — shared with the simulator
+    so extracted text is byte-identical by construction."""
+    titles, texts, links_out = [], [], []
+    for base_url, html in zip(pdf["url"], pdf["html"]):
+        if html is None:
+            titles.append(None)
+            texts.append(None)
+            links_out.append([])
+            continue
+        title, text, hrefs = extract(html)
+        resolved = []
+        for h in hrefs:
+            r = resolve_link(base_url, h)
+            if r is not None:
+                resolved.append(r)
+        titles.append(title)
+        texts.append(text)
+        links_out.append(resolved)
+    return pd.DataFrame({"title": titles, "text": texts, "links": links_out})
+
+
+def make_parse_udf(parse_frame=default_parse_frame, schema: StructType | None = None):
+    schema = schema or schemas.PARSED
+
+    @F.pandas_udf(schema)
+    def parse_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        return parse_frame(pd.DataFrame({"url": url, "html": html}))
+
+    return parse_udf
+
+
+def apply_parse(fetched_ok: DataFrame, parse_frame=default_parse_frame) -> DataFrame:
+    """Attach parsed struct columns to successfully fetched rows."""
+    udf = make_parse_udf(parse_frame)
+    return fetched_ok.withColumn("parsed", udf(F.col("url"), F.col("html")))
+
+
+def link_candidates(parsed: DataFrame, epoch: int) -> DataFrame:
+    """Explode out-links into FRONTIER-schema candidate rows.
+
+    seq = f(epoch, parent wave_rank, link position) keeps the reference's
+    emission order (response_parser.rs:295-328) as a sortable column.
+    """
+    ex = parsed.select(
+        F.col("wave_rank").alias("_parent_rank"),
+        (F.col("depth") + 1).alias("depth"),
+        F.posexplode(F.col("parsed.links")).alias("_pos", "_raw_url"),
+    )
+    norm = urlfn.normalize_url_col(F.col("_raw_url"))
+    return ex.select(
+        norm.alias("url"),
+        urlfn.fingerprint_col(norm).alias("fingerprint"),
+        urlfn.host_col(norm).alias("host"),
+        urlfn.host_hash_col(urlfn.host_col(norm)).alias("host_hash"),
+        F.col("depth").cast("int"),
+        F.lit(0).alias("priority").cast("int"),
+        child_seq_col(epoch, F.col("_parent_rank"), F.col("_pos")).alias("seq"),
+        F.lit(0).cast("int").alias("retry_count"),
+        F.lit(0).cast("int").alias("not_before_epoch"),
+        F.lit("pending").alias("state"),
+        F.lit(epoch + 1).cast("int").alias("epoch_added"),
+    )

@@ -1,0 +1,59 @@
+"""Distributed dense global rank (two-phase), replacing the reference's
+single-threaded enqueue counter (the SegQueue pop order,
+src/scheduler.rs:233-257) with a deterministic total order that never
+funnels through one partition.
+
+A naive ``row_number().over(Window.orderBy(...))`` collapses the whole
+DataFrame into a single partition — fine for a politeness-capped wave
+(≤ max_wave_size rows) but fatal for a 10^10-row frontier. This helper does
+the classic two-phase ranking instead: range-repartition on the order
+columns, count rows per partition (tiny collect), then add the partition
+offset to an intra-partition row_number (distributed window keyed by
+partition id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+
+
+def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+    """Dense 0-based rank by ``order_cols`` (must be a total order / unique
+    key for deterministic results). Returns df + ``out_col``; the input
+    partitioning is replaced by a range partitioning on the order columns.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # persist so the sampled range boundaries are identical between the
+    # count job and the ranking job (repartitionByRange samples its input)
+    ranged = ranged.persist()
+    counts = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark_offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        f"{_PID} int, __rank_off long",
+    )
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        ranged.join(F.broadcast(spark_offsets), _PID, "left")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("__rank_off"), F.lit(0)) + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop(_PID, "__rank_off")
+    )
+    # materialize before unpersisting `ranged`: the ranking must see the
+    # same sampled range boundaries as the count job above
+    out = out.persist()
+    out.count()
+    ranged.unpersist()
+    return out

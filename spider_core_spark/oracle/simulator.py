@@ -1,0 +1,303 @@
+"""Pure-Python single-threaded crawl simulator — the parity oracle.
+
+The reference ships almost no tests (two unit tests in
+src/concurrency.rs:201-237), so its *implicit* spec — FIFO dispatch order
+(src/scheduler.rs:233-257), enqueue-time dedup against completed URLs only
+(src/scheduler.rs:392-431 + mark-after-success
+src/crawler/request_handler.rs:352-362), emission-order link enqueueing
+(src/crawler/response_parser.rs:295-328), retry/drop middleware actions
+(request_handler.rs:191-237,304-349) — is encoded here as an executable
+model at epoch granularity (see SURVEY.md §3.2 for why the reference's
+in-flight races force the epoch-BSP formulation).
+
+Every rule here is the SAME rule the Spark engine implements, written
+sequentially. pytest asserts the engine's per-epoch crawl order, final
+seen set, items and counters equal this model's on the synthetic site.
+
+Uses the same url/fingerprint/extract functions as the engine's UDFs, so
+text parity is byte-identical by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from spider_core_spark.functions.textextract import extract, resolve_link
+from spider_core_spark.functions.url import (
+    fingerprint_py,
+    host_py,
+    normalize_url_py,
+    path_py,
+)
+
+SEQ_EPOCH_BASE = 1 << 40
+SEQ_PARENT_BASE = 1 << 12
+
+
+@dataclass
+class SimConfig:
+    max_epochs: int = 100
+    max_wave_size: int = 30_000
+    default_host_budget: int = 1_000_000
+    use_robots: bool = True
+    max_depth: int | None = None
+    retry_statuses: tuple[int, ...] = (500,)
+    max_retries: int = 0
+    retry_delay_epochs: int = 1
+    success_max_status: int = 399
+    drop_url_pattern: str | None = None  # DropUrlPattern analog
+
+
+@dataclass
+class SimResult:
+    orders: dict[int, list[str]]  # epoch → fetched urls in wave order
+    seen: set[str]  # final fingerprints
+    items: list[dict]
+    metrics: dict[int, dict]
+    totals: dict
+
+
+@dataclass
+class _Req:
+    url: str
+    fingerprint: str
+    host: str
+    depth: int
+    priority: int
+    seq: int
+    retry_count: int = 0
+    not_before: int = 0
+
+
+def simulate(
+    pages: dict[str, dict],
+    seeds: list[str],
+    robots: dict[str, dict] | None = None,
+    cfg: SimConfig | None = None,
+) -> SimResult:
+    """pages: url → {status:int, html:bytes, lang:str}; robots: host →
+    {disallow:[prefix], max_per_epoch:int}."""
+    import re
+
+    cfg = cfg or SimConfig()
+    robots = robots or {}
+    drop_re = re.compile(cfg.drop_url_pattern) if cfg.drop_url_pattern else None
+
+    # --- seed injection: list order, fragment stripped, intra-batch dedup
+    frontier: list[_Req] = []
+    seeded = set()
+    for i, u in enumerate(seeds):
+        nu = normalize_url_py(u)
+        fp = fingerprint_py(nu)
+        if fp in seeded:
+            continue
+        seeded.add(fp)
+        frontier.append(_Req(nu, fp, host_py(nu), 0, 0, i))
+
+    seen: set[str] = set()
+    orders: dict[int, list[str]] = {}
+    items: list[dict] = []
+    metrics: dict[int, dict] = {}
+    totals = {
+        "requests_enqueued": len(frontier),
+        "requests_sent": 0,
+        "requests_succeeded": 0,
+        "requests_failed": 0,
+        "requests_retried": 0,
+        "requests_dropped": 0,
+        "responses_received": 0,
+        "bytes_downloaded": 0,
+        "items_processed": 0,
+        "urls_deduped": 0,
+    }
+
+    epoch = 0
+    while epoch < cfg.max_epochs and frontier:
+        eligible, not_yet = [], []
+        for r in frontier:
+            ok_depth = cfg.max_depth is None or r.depth <= cfg.max_depth
+            if r.not_before <= epoch and ok_depth:
+                eligible.append(r)
+            else:
+                # depth-exceeded rows stay but are never selected —
+                # identical to the engine's eligibility filter
+                not_yet.append(r)
+
+        # robots drop (permanent)
+        robots_dropped = 0
+        if cfg.use_robots and robots:
+            kept = []
+            for r in eligible:
+                rules = robots.get(r.host)
+                if rules and any(
+                    path_py(r.url).startswith(p) for p in rules.get("disallow", [])
+                ):
+                    robots_dropped += 1
+                else:
+                    kept.append(r)
+            eligible = kept
+
+        # skip already-completed fingerprints (consumed silently)
+        live = [r for r in eligible if r.fingerprint not in seen]
+        seen_skipped = len(eligible) - len(live)
+
+        # collapse duplicate fingerprints: keep first by (priority, seq)
+        live.sort(key=lambda r: (r.priority, r.seq))
+        first: dict[str, _Req] = {}
+        for r in live:
+            first.setdefault(r.fingerprint, r)
+        deduped = sorted(first.values(), key=lambda r: (r.priority, r.seq))
+        dup_collapsed = len(live) - len(deduped)
+
+        # politeness per-host budget (over-budget rows DEFER)
+        taken_per_host: dict[str, int] = {}
+        polite, over_budget = [], []
+        for r in deduped:
+            budget = (
+                robots.get(r.host, {}).get("max_per_epoch")
+                if (cfg.use_robots and robots)
+                else None
+            ) or cfg.default_host_budget
+            c = taken_per_host.get(r.host, 0)
+            if c < budget:
+                taken_per_host[r.host] = c + 1
+                polite.append(r)
+            else:
+                over_budget.append(r)
+
+        # global wave cap (DEFER beyond max_wave_size)
+        wave = polite[: cfg.max_wave_size]
+        over_cap = polite[cfg.max_wave_size:]
+        leftover = not_yet + over_budget + over_cap
+
+        if not wave:
+            if not leftover:
+                break
+            nb = min(r.not_before for r in leftover)
+            if nb <= epoch:
+                break  # nothing will ever become eligible
+            frontier = leftover
+            epoch = nb
+            continue
+
+        # request middleware chain (DropUrlPattern analog)
+        sent, req_dropped = [], 0
+        for r in wave:
+            if drop_re is not None and drop_re.search(r.url):
+                req_dropped += 1
+            else:
+                sent.append(r)
+
+        orders[epoch] = [r.url for r in wave]
+        n_ok = n_miss = n_bad = n_retried = resp_dropped = 0
+        bytes_dl = 0
+        retries: list[_Req] = []
+        parsed_rows = []  # (wave_rank, req, title, text, links, lang)
+
+        sent_ids = {id(r) for r in sent}
+        for rank, r in enumerate(wave):
+            if id(r) not in sent_ids:
+                continue
+            page = pages.get(r.url)
+            if page is None:
+                n_miss += 1
+                continue
+            status = page.get("status", 200)
+            bytes_dl += len(page.get("html") or b"")
+            # response middleware: RetryOnStatus analog
+            if status in cfg.retry_statuses and cfg.max_retries > 0:
+                if r.retry_count < cfg.max_retries:
+                    retries.append(
+                        _Req(
+                            r.url,
+                            r.fingerprint,
+                            r.host,
+                            r.depth,
+                            r.priority,
+                            r.seq,
+                            r.retry_count + 1,
+                            epoch + 1 + cfg.retry_delay_epochs,
+                        )
+                    )
+                    n_retried += 1
+                else:
+                    resp_dropped += 1
+                continue
+            if status > cfg.success_max_status:
+                n_bad += 1
+                continue
+            n_ok += 1
+            title, text, hrefs = extract(page["html"])
+            links = [x for x in (resolve_link(r.url, h) for h in hrefs) if x]
+            parsed_rows.append((rank, r, title, text, links, page.get("lang")))
+
+        # mark visited AFTER success
+        for rank, r, *_ in parsed_rows:
+            seen.add(r.fingerprint)
+
+        # items (emission order)
+        for rank, r, title, text, links, lang in parsed_rows:
+            items.append(
+                {
+                    "url": r.url,
+                    "title": title,
+                    "text": text,
+                    "lang": lang,
+                    "n_links": len(links),
+                    "epoch": epoch,
+                }
+            )
+
+        # discovered links → candidates (emission order = (wave_rank, pos))
+        cands: list[_Req] = []
+        for rank, r, title, text, links, lang in parsed_rows:
+            for pos, raw in enumerate(links):
+                nu = normalize_url_py(raw)
+                fp = fingerprint_py(nu)
+                cands.append(
+                    _Req(
+                        nu,
+                        fp,
+                        host_py(nu),
+                        r.depth + 1,
+                        0,
+                        (epoch + 1) * SEQ_EPOCH_BASE
+                        + rank * SEQ_PARENT_BASE
+                        + pos,
+                    )
+                )
+
+        # enqueue dedup: vs seen (incl. this epoch's marks), keep first
+        fresh: dict[str, _Req] = {}
+        for c in sorted(cands, key=lambda r: (r.priority, r.seq)):
+            if c.fingerprint in seen:
+                continue
+            fresh.setdefault(c.fingerprint, c)
+        new_rows = list(fresh.values()) + retries
+
+        frontier = leftover + new_rows
+        metrics[epoch] = {
+            "wave": len(wave),
+            "requests_sent": len(sent),
+            "requests_succeeded": n_ok,
+            "requests_failed": n_miss + n_bad,
+            "requests_retried": n_retried,
+            "requests_dropped": req_dropped + resp_dropped + robots_dropped,
+            "requests_enqueued": len(new_rows),
+            "bytes_downloaded": bytes_dl,
+            "seen_skipped": seen_skipped,
+            "dup_collapsed": dup_collapsed,
+        }
+        totals["requests_sent"] += len(sent)
+        totals["requests_succeeded"] += n_ok
+        totals["requests_failed"] += n_miss + n_bad
+        totals["requests_retried"] += n_retried
+        totals["requests_dropped"] += req_dropped + resp_dropped + robots_dropped
+        totals["requests_enqueued"] += len(new_rows)
+        totals["responses_received"] += len(sent) - n_miss
+        totals["bytes_downloaded"] += bytes_dl
+        totals["items_processed"] += len(parsed_rows)
+        totals["urls_deduped"] += seen_skipped + dup_collapsed
+        epoch += 1
+
+    return SimResult(orders=orders, seen=seen, items=items, metrics=metrics, totals=totals)

@@ -1,0 +1,99 @@
+"""Checkpoint / resume (reference src/checkpoint.rs:99-152 — msgpack
+snapshot with write-to-tmp + atomic rename at :137-148; periodic timer task
+src/crawler/core.rs:212-258; restore src/builder.rs:309-344).
+
+Spark rebuild: state lives in tables, not a process snapshot —
+- frontier  → full compacted snapshot per checkpointed epoch (pending rows
+              only; the analog of request_queue + salvaged_requests in the
+              reference checkpoint, src/checkpoint.rs:71-79);
+- seen      → append-only per-epoch partitions (never rewritten: at 10^10
+              fingerprints a rewrite-per-epoch would dominate the crawl);
+- items / metrics / order → append-only per-epoch partitions;
+- manifest.json (atomic tmp+os.replace, same trick as the reference)
+  records last committed epoch, totals and pipeline states
+  (src/checkpoint.rs:87 pipelines map analog).
+
+Resume = read manifest → load frontier snapshot + all seen partitions ≤
+epoch. A killed run restarts at the first uncommitted epoch without
+re-fetching anything committed — on Iceberg these per-epoch commits are
+real table snapshots; on raw parquet the directory layout plays that role.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spider_core_spark import schemas
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.manifest_path = os.path.join(workdir, "manifest.json")
+
+    # ------------------------------------------------------------ layout
+    def frontier_dir(self, epoch: int) -> str:
+        return os.path.join(self.workdir, "snap", f"epoch_{epoch}", "frontier")
+
+    def seen_dir(self, epoch: int) -> str:
+        return os.path.join(self.workdir, "seen", f"epoch={epoch}")
+
+    def epoch_dir(self, kind: str, epoch: int) -> str:
+        return os.path.join(self.workdir, kind, f"epoch={epoch}")
+
+    # ------------------------------------------------------------ manifest
+    def write_manifest(self, manifest: dict[str, Any]) -> None:
+        os.makedirs(self.workdir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, self.manifest_path)  # atomic, like checkpoint.rs:137-148
+
+    def read_manifest(self) -> dict[str, Any] | None:
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ state io
+    def reset(self) -> None:
+        if os.path.exists(self.workdir):
+            shutil.rmtree(self.workdir)
+        os.makedirs(self.workdir, exist_ok=True)
+
+    def write_frontier(self, frontier: DataFrame, epoch: int) -> DataFrame:
+        path = self.frontier_dir(epoch)
+        frontier.write.mode("overwrite").parquet(path)
+        return self.spark.read.schema(schemas.FRONTIER).parquet(path)
+
+    def write_seen_delta(self, new_seen: DataFrame, epoch: int) -> None:
+        new_seen.write.mode("overwrite").parquet(self.seen_dir(epoch))
+
+    def read_seen(self, up_to_epoch: int) -> DataFrame:
+        dirs = [
+            self.seen_dir(e)
+            for e in range(up_to_epoch + 1)
+            if os.path.exists(self.seen_dir(e))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], schemas.SEEN)
+        return self.spark.read.schema(schemas.SEEN).parquet(*dirs)
+
+    def append_epoch(self, df: DataFrame, kind: str, epoch: int) -> None:
+        df.write.mode("overwrite").parquet(self.epoch_dir(kind, epoch))
+
+    def read_all(self, kind: str, schema=None) -> DataFrame | None:
+        base = os.path.join(self.workdir, kind)
+        if not os.path.exists(base):
+            return None
+        sub = [os.path.join(base, d) for d in sorted(os.listdir(base))]
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*sub) if sub else None

@@ -1,0 +1,48 @@
+"""Crawl configuration (the analog of the reference's CrawlerBuilder,
+src/builder.rs:192-307, defaults at :80-88; dedup sizing defaults at
+src/scheduler.rs:108-144)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # epoch loop
+    max_epochs: int = 100
+    # wave-size cap — the BSP analog of the reference's 30,000 pending
+    # backpressure limit (src/scheduler.rs:144,399-408). Rows beyond the cap
+    # are DEFERRED to the next epoch, not dropped (documented improvement).
+    max_wave_size: int = 30_000
+    # politeness: per-host per-epoch budget when robots has no max_per_epoch
+    default_host_budget: int = 1_000_000
+    use_robots: bool = True
+    max_depth: int | None = None
+
+    # retry (the RetryOnStatus middleware's knobs; reference retry action at
+    # src/crawler/request_handler.rs:199-214)
+    retry_statuses: tuple[int, ...] = (500,)
+    max_retries: int = 0
+    retry_delay_epochs: int = 1
+
+    # seen-set sharding + Bloom tier (reference: 5M bits / 5 hashes,
+    # src/scheduler.rs:137)
+    n_shards: int = 8
+    bloom_bits: int = 1 << 20  # per shard
+    bloom_hashes: int = 5
+    use_bloom: bool = True
+
+    # checkpointing (reference periodic checkpoint task,
+    # src/crawler/core.rs:212-258): snapshot every k epochs; final always
+    checkpoint_every: int = 1
+    workdir: str = "/tmp/spider_core_spark_run"
+
+    # skew: salt partitions on hot hosts before UDF-heavy stages
+    skew_salt: int = 8
+
+    # statuses considered fetch success (mark-as-visited happens only after
+    # success, src/crawler/request_handler.rs:352-362)
+    success_max_status: int = 399
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,105 @@
+"""Fetch stage (reference Downloader trait, src/lib.rs:51,
+src/builder.rs:104-117; invoked at src/crawler/request_handler.rs:253-296).
+
+In this engine "the web" is a Common-Crawl-style pages table, so fetch is
+an equi-join of the wave against it (SURVEY.md J1): inner semantics give
+responses, LEFT semantics additionally keep misses as fetch failures
+(status NULL → requests_failed). The originating request's columns ride
+along through the join, so the reference's response→request back-pointer
+(request_from_response, src/crawler/request_handler.rs:299,353) needs no
+second join.
+
+Scale notes:
+- the wave is politeness/backpressure-capped and tiny next to the pages
+  table → broadcast the WAVE side (we mark it explicitly rather than
+  trusting the 10 MB autoBroadcast default);
+- the join keys the pages scan by url: with an Iceberg table
+  bucketed/sorted by url this becomes a storage-partitioned join with no
+  pages-side shuffle; on raw parquet AQE handles it;
+- hot-host skew is defused before UDF-heavy downstream stages by salted
+  repartitioning on (host_hash, salt) — `salt_repartition`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spider_core_spark.functions.hashing import h64_col
+
+
+class JoinFetcher:
+    """Resolve a wave of requests against a pages table."""
+
+    def __init__(self, pages: DataFrame):
+        # normalize: keep only the response columns fetch produces
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        status = (
+            F.col("status")
+            if "status" in pages.columns
+            else F.lit(200).cast("int")
+        )
+        self.pages = pages.select(*cols, status.alias("status"))
+
+    def fetch(self, wave: DataFrame, broadcast_wave: bool = True) -> tuple[DataFrame, DataFrame]:
+        """Returns (responses, misses).
+
+        A naive ``wave LEFT JOIN pages`` cannot broadcast the wave (Spark
+        only broadcasts the right side of a left-outer), so it would
+        shuffle the pages table — fatal at Common-Crawl scale. Instead:
+        inner join with the wave broadcast (pages side streams with zero
+        shuffle; AQE's runtime bloom filter prunes the scan), then misses
+        = wave anti-join the hit urls (both sides wave-sized).
+
+        Responses carry the originating request's columns, so the
+        reference's response→request back-pointer (request_from_response,
+        src/crawler/request_handler.rs:299,353) needs no second join. Adds
+        `cached` (a CacheServe middleware may pre-serve rows, reference
+        request_handler.rs:243-251) and `fetch_bytes`.
+        """
+        w = F.broadcast(wave) if broadcast_wave else wave
+        resp_cols = [c for c in self.pages.columns if c != "url"]
+        responses = (
+            w.join(self.pages, "url", "inner")
+            .withColumn("cached", F.lit(False))
+            .withColumn(
+                "fetch_bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
+            )
+        )
+        responses = responses.persist()
+        hit_urls = responses.select("url")
+        misses = wave.join(F.broadcast(hit_urls), "url", "left_anti")
+        for c in resp_cols:
+            misses = misses.withColumn(c, F.lit(None).cast(dict(self.pages.dtypes)[c]))
+        misses = misses.withColumn("cached", F.lit(False)).withColumn(
+            "fetch_bytes", F.lit(0).cast("long")
+        )
+        return responses, misses
+
+
+class HttpFetcher:
+    """Real-web fetcher: per-partition HTTP client inside mapInPandas.
+
+    Not runnable in this sandbox (no network, no http client lib baked in);
+    the Spark-side plumbing (signature, batching, partition-per-host
+    politeness) is what JoinFetcher exercises. Kept as the extension point
+    matching the reference's pluggable Downloader.
+    """
+
+    def __init__(self, timeout_s: float = 10.0):
+        self.timeout_s = timeout_s
+
+    def fetch(self, wave: DataFrame, broadcast_wave: bool = True) -> DataFrame:
+        raise NotImplementedError(
+            "HttpFetcher requires network access; use JoinFetcher over a "
+            "pages table in this environment"
+        )
+
+
+def salt_repartition(df: DataFrame, n_partitions: int, salt: int) -> DataFrame:
+    """Spread hot hosts across `salt` partitions: repartition on
+    (host_hash, pmod(h64(url), salt)). One hot host receiving ~30% of the
+    wave otherwise serializes ~30% of UDF work onto one task."""
+    return df.repartition(
+        n_partitions, F.col("host_hash"), F.pmod(h64_col(F.col("url")), F.lit(salt))
+    )
