@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / analysis);
+the driver compares each Spark result against the DuckDB oracle at
+sf=0.01 (row count + schema + order-insensitive value hash).
+
+Non-SQL-expressible ops (crawl loop itself, bloom shards, checkpoint,
+multimodal mapInPandas stages) are verified by the pytest suite against
+the pure-Python simulator (tests/test_engine_parity.py etc.); two of
+them are additionally exposed here as rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +17,104 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_core_spark.plans import demo_queries as dq
+from spider_core_spark.textops import analysis as ta
+from spider_core_spark.textops import dedup as td
+from spider_core_spark.textops import multimodal as tm
+from spider_core_spark.textops import similarity as ts
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: politeness-capped ordered crawl wave (F1+F2+J1 composed)
+    over sf0.001 — per-host top-3 ordered wave with joined 'page' payload."""
+    sf = "/root/testdata/sf0.001"
+    wave = dq.f2_politeness_topk(spark, sf)
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        wave.join(o.select("o_orderkey", "o_totalprice"), "o_orderkey")
+        .join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"), "c_name")),
+            "o_custkey",
+        )
+        .select(
+            "o_custkey", "host_rank", "o_orderkey", "o_totalprice", "c_name"
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        # crawl operators (SURVEY.md §2) on TPC-H-ish tables
+        "f0_seed_injection": dq.f0_seed_injection,
+        "f1_wave_order": dq.f1_wave_order,
+        "f2_politeness_topk": dq.f2_politeness_topk,
+        "f3_retry_gate": dq.f3_retry_gate,
+        "j1_fetch_join": dq.j1_fetch_join,
+        "j1_left_misses": dq.j1_left_misses,
+        "j2_anti_dedup": dq.j2_anti_dedup,
+        "u1_union_distinct": dq.u1_union_distinct,
+        "p2_first_seen": dq.p2_first_seen,
+        "a1_counters": dq.a1_counters,
+        "a2_status_histogram": dq.a2_status_histogram,
+        "a3_timing_stats": dq.a3_timing_stats,
+        "a6_sliding_rate": dq.a6_sliding_rate,
+        "a8_perhost_feedback": dq.a8_perhost_feedback,
+        # training-data ops: dedup suite
+        "dedup_exact": td.exact_dedup,
+        "dedup_minhash_bands": td.minhash_bands,
+        "dedup_minhash_pairs": td.minhash_pairs,
+        "dedup_simhash": td.simhash,
+        "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
+        "dedup_embedding_cosine": td.embedding_neardup,
+        # similarity search
+        "ann_bruteforce_topk": ts.ann_bruteforce_topk,
+        "ann_lsh_topk": ts.ann_lsh_topk,
+        # text analysis
+        "text_langid": ta.lang_id,
+        "text_quality": ta.quality_score,
+        "text_tokens": ta.token_counts,
+        "text_fingerprint": ta.doc_fingerprint,
+        # multimodal plumbing (rows-only: mapInPandas, no SQL analog)
+        "mm_features": lambda spark, sf: tm.extract_features(
+            tm.synth_media_df(spark, 64)
+        ),
+        "mm_frame_sample": lambda spark, sf: tm.sample_frames(
+            tm.synth_media_df(spark, 64)
+        ),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f0_seed_injection": dq.F0_SQL,
+        "f1_wave_order": dq.F1_SQL,
+        "f2_politeness_topk": dq.F2_SQL,
+        "f3_retry_gate": dq.F3_SQL,
+        "j1_fetch_join": dq.J1_SQL,
+        "j1_left_misses": dq.J1_LEFT_SQL,
+        "j2_anti_dedup": dq.J2_SQL,
+        "u1_union_distinct": dq.U1_SQL,
+        "p2_first_seen": dq.P2_SQL,
+        "a1_counters": dq.A1_SQL,
+        "a2_status_histogram": dq.A2_SQL,
+        "a3_timing_stats": dq.A3_SQL,
+        "a6_sliding_rate": dq.A6_SQL,
+        "a8_perhost_feedback": dq.A8_SQL,
+        "dedup_exact": td.EXACT_DEDUP_SQL,
+        "dedup_minhash_bands": td.minhash_bands_sql(),
+        "dedup_minhash_pairs": td.minhash_pairs_sql(),
+        "dedup_simhash": td.simhash_sql(),
+        "dedup_ngram_jaccard": td.ngram_jaccard_sql(),
+        "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
+        "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
+        "ann_lsh_topk": ts.ann_lsh_sql(),
+        "text_langid": ta.lang_id_sql(),
+        "text_quality": ta.quality_score_sql(),
+        "text_tokens": ta.TOKEN_COUNTS_SQL,
+        "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
+        # mm_features / mm_frame_sample: rows-only (mapInPandas stages)
+    }

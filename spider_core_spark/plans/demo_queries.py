@@ -1,0 +1,311 @@
+"""SURVEY.md §2 operators demonstrated over the driver's TPC-H-ish test
+tables (FIXTURES.md §9 mapping), each with an exactly-matching DuckDB
+oracle — this is the driver's CORRECTNESS gate surface.
+
+The crawl engine itself is verified against the pure-Python simulator in
+tests/ (crawl order, seen set, text bytes); these demos re-express each
+operator's *shape* (window top-k, anti-join dedup, union-distinct,
+histogram, EMA window, per-host feedback aggregate …) on relational data
+so DuckDB can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- F0/P1/S1-S4: seed injection + URL normalize/fingerprint/host ---------
+def f0_seed_injection(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("n_name", " ", "-")),
+        F.lit(".test/p/"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("#top"),
+    )
+    norm = F.substring_index(url, "#", 1)
+    return n.select(
+        F.col("n_nationkey").alias("seq"),
+        norm.alias("url"),
+        F.sha2(norm, 256).alias("fingerprint"),
+        F.regexp_extract(norm, _HOST_RE, 1).alias("host"),
+    )
+
+
+F0_SQL = f"""
+SELECT n_nationkey AS seq,
+       split_part('https://' || lower(replace(n_name, ' ', '-')) || '.test/p/'
+                  || n_nationkey || '#top', '#', 1) AS url,
+       sha256(split_part('https://' || lower(replace(n_name, ' ', '-'))
+                         || '.test/p/' || n_nationkey || '#top', '#', 1)) AS fingerprint,
+       regexp_extract(split_part('https://' || lower(replace(n_name, ' ', '-'))
+                      || '.test/p/' || n_nationkey || '#top', '#', 1),
+                      '{_HOST_RE}', 1) AS host
+FROM nation
+"""
+
+
+# --- F1: globally ordered wave (FIFO analog) -------------------------------
+def f1_wave_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("wave_rank", F.row_number().over(w) - 1)
+        .filter(F.col("wave_rank") < 100)
+        .select("wave_rank", "o_orderkey", "o_orderdate")
+    )
+
+
+F1_SQL = """
+SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS wave_rank,
+       o_orderkey, o_orderdate
+FROM orders QUALIFY wave_rank < 100
+"""
+
+
+# --- F2: per-host politeness top-k -----------------------------------------
+def f2_politeness_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 3)
+        .select("o_custkey", "host_rank", "o_orderkey", "o_orderdate")
+    )
+
+
+F2_SQL = """
+SELECT o_custkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS host_rank,
+       o_orderkey, o_orderdate
+FROM orders QUALIFY host_rank <= 3
+"""
+
+
+# --- F3: retry gate (not_before_epoch eligibility filter) -------------------
+def f3_retry_gate(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "error")
+        )
+        .select("event_id", "user_id", "ts")
+    )
+
+
+F3_SQL = """
+SELECT event_id, user_id, ts FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_type = 'error'
+"""
+
+
+# --- J1: fetch join (request × web), inner + left-with-miss-counts ---------
+def j1_fetch_join(spark, sf_dir):
+    # money math in integer cents: the sum is order-independent and exact,
+    # so Spark's and DuckDB's different accumulation orders cannot produce
+    # off-by-one-cent rounding flips
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            (F.sum(cents) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       sum(round(l_extendedprice * 100)::BIGINT *
+           (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def j1_left_misses(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+J1_LEFT_SQL = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+# --- J2: anti-join dedup (URL-seen) -----------------------------------------
+def j2_anti_dedup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+J2_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# --- U1: seen-set union (union-distinct) ------------------------------------
+def u1_union_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+U1_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+# --- P2: dedup predicate (first-seen-after-cutoff anti join) ----------------
+def p2_first_seen(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    before = e.filter(F.col("ts") < cutoff).select("user_id").distinct()
+    after = e.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    return after.join(before, "user_id", "left_anti")
+
+
+P2_SQL = """
+SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+"""
+
+
+# --- A1: counter aggregates --------------------------------------------------
+def a1_counters(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    c = lambda col: F.round(F.col(col) * 100).cast("long")  # noqa: E731
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(c("l_quantity")) / 100.0).alias("sum_qty"),
+        (F.sum(c("l_extendedprice")) / 100.0).alias("sum_price"),
+        (F.round(F.sum(c("l_discount")) * 10000.0 / F.count("*"), 0) / 1000000.0)
+        .alias("avg_discount"),
+    )
+
+
+A1_SQL = """
+SELECT count(*) AS n_rows,
+       sum(round(l_quantity * 100)::BIGINT) / 100.0 AS sum_qty,
+       sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_price,
+       round(sum(round(l_discount * 100)::BIGINT) * 10000.0 / count(*), 0)
+         / 1000000.0 AS avg_discount
+FROM lineitem
+"""
+
+
+# --- A2: status-code histogram ----------------------------------------------
+def a2_status_histogram(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+A2_SQL = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+# --- A3: min/max/avg timing --------------------------------------------------
+def a3_timing_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        (F.round(F.sum(cents) * 100.0 / F.count("*"), 0) / 10000.0).alias(
+            "avg_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+A3_SQL = """
+SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS month,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(sum(round(l_extendedprice * 100)::BIGINT) * 100.0 / count(*), 0)
+         / 10000.0 AS avg_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# --- A6: EMA/windowed recent rate --------------------------------------------
+def a6_sliding_rate(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(-9, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        (
+            F.round(F.sum(cents).over(w) * 100.0 / F.count("*").over(w), 0)
+            / 10000.0
+        ).alias("sliding_avg"),
+    )
+
+
+A6_SQL = """
+SELECT event_id,
+       round(sum(round(value * 100)::BIGINT)
+               OVER (ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             * 100.0
+             / count(*) OVER (ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+             0) / 10000.0 AS sliding_avg
+FROM events
+"""
+
+
+# --- A8: per-host adaptive feedback aggregate --------------------------------
+def a8_perhost_feedback(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy("user_id").agg(
+        (F.round(F.sum(cents) * 100.0 / F.count("*"), 0) / 10000.0).alias(
+            "avg_value"
+        ),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("error_rate"),
+        F.count("*").alias("n"),
+    )
+
+
+A8_SQL = """
+SELECT user_id,
+       round(sum(round(value * 100)::BIGINT) * 100.0 / count(*), 0) / 10000.0
+         AS avg_value,
+       round(sum(case when event_type = 'error' then 1 else 0 end)::DOUBLE
+             / count(*), 4) AS error_rate,
+       count(*) AS n
+FROM events GROUP BY 1
+"""

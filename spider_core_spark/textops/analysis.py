@@ -1,0 +1,159 @@
+"""Text analysis for training-data pipelines: language-ID (stopword
+n-gram heuristic), quality scoring, token counting (whitespace + BPE-ish
+regex), and document fingerprinting.
+
+Every operator stays JVM-side (builtin functions only — whole-stage
+codegen, no Python in the hot path) and has an exactly matching DuckDB
+oracle. All are per-row/narrow: at 100 TB they pipeline inside the scan
+with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "small"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+}
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _stop_hits_spark(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"size(filter(split(lower(text), ' '), t -> array_contains(array({lst}), t)))"
+    )
+
+
+def _stop_hits_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains([{lst}], t)))"
+    )
+
+
+# ---------------------------------------------------------------- lang id
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax of per-language stopword hit counts, deterministic tiebreak
+    en > de > fr. (The point is identical computation in both engines,
+    not ground-truth accuracy.)"""
+    d = _docs(spark, sf_dir)
+    s = {lang: F.expr(_stop_hits_spark(lang)) for lang in STOPWORDS}
+    pred = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        s["en"].alias("hits_en"),
+        s["de"].alias("hits_de"),
+        s["fr"].alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def lang_id_sql() -> str:
+    en, de, fr = (_stop_hits_duck(x) for x in ("en", "de", "fr"))
+    return f"""
+SELECT doc_id,
+       {en} AS hits_en, {de} AS hits_de, {fr} AS hits_fr,
+       CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
+            WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END AS lang_pred
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- quality
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/diversity ratios + a composite score."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop = F.expr(_stop_hits_spark("en"))
+    mean_len = F.round(
+        (F.length("text") - (n_tok - 1)) / n_tok, 4
+    )  # chars minus separators over tokens
+    stop_ratio = F.round(stop / n_tok, 4)
+    uniq_ratio = F.round(n_uniq / n_tok, 4)
+    score = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.2
+        + uniq_ratio * 0.4,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_score_sql() -> str:
+    stop = _stop_hits_duck("en")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(lower(text), ' ')) AS n_tok,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+         {stop} AS stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       round((length(text) - (n_tok - 1))::DOUBLE / n_tok, 4) AS mean_token_len,
+       round(stop::DOUBLE / n_tok, 4) AS stopword_ratio,
+       round(n_uniq::DOUBLE / n_tok, 4) AS unique_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.4 + round(stop::DOUBLE / n_tok, 4) * 0.2
+             + round(n_uniq::DOUBLE / n_tok, 4) * 0.4, 4) AS quality_score
+FROM t
+"""
+
+
+# ------------------------------------------------------------ token counts
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex piece count per doc."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_RE}', 0)")).alias(
+            "bpe_pieces"
+        ),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_pieces
+FROM documents
+"""
+
+
+# -------------------------------------------------------------- fingerprint
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of normalized text (lower, collapse whitespace,
+    trim) — the doc-level analog of the crawl URL fingerprint."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    return d.select("doc_id", F.sha2(norm, 256).alias("doc_fp"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp
+FROM documents
+"""

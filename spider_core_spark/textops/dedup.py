@@ -1,0 +1,288 @@
+"""Document deduplication suite for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Each operator is (a) a Spark DataFrame builder over the `documents` /
+`embeddings` tables and (b) a DuckDB SQL generator computing the SAME
+values — both derive every hash from the shared h64 primitive
+(functions/hashing.py), so the driver's value-hash comparison holds
+bit-for-bit.
+
+Scale design notes (100 TB):
+- exact: one groupBy on sha256(text) — map-side partial agg, no skew
+  (hash keys uniform);
+- minhash: signatures are per-row (narrow, no shuffle); LSH banding
+  turns near-dup detection into an equi-join per band — candidate pairs
+  only ever meet inside a band bucket, never all-pairs;
+- simhash: per-row token explode + one groupBy(doc) — the 32 bit-sums are
+  map-side combinable;
+- ngram-jaccard: pairs restricted to (lang, length-bucket) blocking keys —
+  the classic blocking trick keeping the join from going quadratic;
+- embedding near-dup: label-blocked pair join (stand-in for an IVF
+  partitioning at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_core_spark.functions.hashing import h64_duckdb
+
+H = 15  # hex chars (shared with hashing.h64_*)
+
+# ---------------------------------------------------------------- helpers
+TOKENS_SPARK = "split(text, ' ')"
+TOKENS_DUCK = "string_split(text, ' ')"
+
+
+def _h64_spark(expr: str, seed: int) -> str:
+    return (
+        f"cast(conv(substring(sha2(concat('{seed}:', {expr}), 256), 1, {H}), 16, 10) as long)"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash; keeper = min doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id)  AS keeper_doc_id,
+       count(*)     AS n_copies
+FROM documents GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- minhash
+K_HASHES = 8
+N_BANDS = 4  # rows per band r = K_HASHES / N_BANDS = 2
+SHINGLE = 3
+
+
+def _shingles_spark() -> str:
+    t = TOKENS_SPARK
+    return (
+        f"transform(sequence(0, greatest(size({t}) - {SHINGLE}, 0)), "
+        f"i -> concat_ws(' ', slice({t}, i + 1, {SHINGLE})))"
+    )
+
+
+def _shingles_duck() -> str:
+    t = TOKENS_DUCK
+    return (
+        f"[array_to_string({t}[i:i+{SHINGLE - 1}], ' ') "
+        f"for i in range(1, greatest(len({t}) - {SHINGLE - 1}, 1) + 1)]"
+    )
+
+
+def minhash_signature_exprs_spark() -> list[str]:
+    sh = _shingles_spark()
+    return [
+        f"array_min(transform({sh}, x -> {_h64_spark('x', s)})) "
+        for s in range(K_HASHES)
+    ]
+
+
+def minhash_signature_exprs_duck() -> list[str]:
+    sh = _shingles_duck()
+    return [
+        f"list_min(list_transform({sh}, x -> {h64_duckdb('x', seed=s)}))"
+        for s in range(K_HASHES)
+    ]
+
+
+def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LSH band hashes: band_j = h64(concat of r signature mins).
+    Flat int64 columns so the oracle comparison is exact."""
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signature_exprs_spark()
+    r = K_HASHES // N_BANDS
+    cols = [F.col("doc_id")]
+    for b in range(N_BANDS):
+        parts = sigs[b * r: (b + 1) * r]
+        concat = " , '|', ".join(f"cast({p} as string)" for p in parts)
+        band_expr = _h64_spark(f"concat({concat})", 100 + b)
+        cols.append(F.expr(band_expr).alias(f"band{b}"))
+    return d.select(*cols)
+
+
+def minhash_bands_sql() -> str:
+    sigs = minhash_signature_exprs_duck()
+    r = K_HASHES // N_BANDS
+    sel = ["doc_id"]
+    for b in range(N_BANDS):
+        parts = sigs[b * r: (b + 1) * r]
+        concat = " , '|', ".join(f"cast({p} as varchar)" for p in parts)
+        sel.append(f"{h64_duckdb(f'concat({concat})', seed=100 + b)} AS band{b}")
+    return "SELECT " + ", ".join(sel) + " FROM documents"
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    bands = minhash_bands(spark, sf_dir)
+    pairs = None
+    for b in range(N_BANDS):
+        l = bands.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk"))
+        r_ = bands.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk"))
+        p = l.join(r_, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_pairs_sql() -> str:
+    base = minhash_bands_sql()
+    unions = " UNION ALL ".join(
+        f"SELECT l.doc_id AS a, r.doc_id AS b FROM bands l JOIN bands r "
+        f"ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"
+        for b in range(N_BANDS)
+    )
+    return f"WITH bands AS ({base}) SELECT DISTINCT a, b FROM ({unions})"
+
+
+# ---------------------------------------------------------------- simhash
+SIMHASH_BITS = 32
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (frequency-weighted)."""
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    ).withColumn("h", F.expr(_h64_spark("tok", 9)))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return g.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_sql() -> str:
+    h = h64_duckdb("tok", seed=9)
+    sums = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(case when s{b} >= 0 then {1 << b}::BIGINT else 0 end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+), g AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM g
+"""
+
+
+# ------------------------------------------------------------- ngram jaccard
+JACCARD_THRESHOLD = 0.3
+LEN_BUCKET = 100
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise Jaccard over 3-word shingle sets: candidates share
+    (lang, n_chars bucket); |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
+        F.array_distinct(F.expr(_shingles_spark())).alias("sh"),
+    )
+    l = d.select(
+        F.col("doc_id").alias("a"), "lang", "lb", F.col("sh").alias("sha")
+    )
+    r = d.select(
+        F.col("doc_id").alias("b"), "lang", "lb", F.col("sh").alias("shb")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    uni = F.size("sha") + F.size("shb") - inter
+    jac = inter / uni
+    return (
+        l.join(r, ["lang", "lb"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    sh = _shingles_duck()
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, (n_chars / {LEN_BUCKET})::INT AS lb,
+         list_distinct({sh}) AS sh
+  FROM documents
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+             (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
+FROM d l JOIN d r ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
+WHERE round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+            (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------- embedding cosine near-dup
+COSINE_THRESHOLD = 0.9
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs within the same label block (the
+    blocking key stands in for an IVF cell at scale); cosine ≥ threshold.
+    All math in double, summed left-to-right via F.aggregate."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    l = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), "label", F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 3)
+    return (
+        l.join(r, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("a", "b", "cos")
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) /
+             (sqrt(list_sum([x * x for x in l.v])) *
+              sqrt(list_sum([x * x for x in r.v]))), 3) AS cos
+FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) /
+            (sqrt(list_sum([x * x for x in l.v])) *
+             sqrt(list_sum([x * x for x in r.v]))), 3) >= {COSINE_THRESHOLD}
+"""

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>):
+
+- brute-force cosine top-k — the exact baseline; a broadcast of the (few)
+  query vectors against a full scan of the corpus, linear not quadratic;
+- LSH-bucketed ANN — random-hyperplane signatures turn the scan into an
+  equi-join on bucket id; at 100 TB the bucket id becomes the partition
+  key so each query only touches its cell (IVF-style scale path).
+
+All floating-point math is cast to double and rounded before any ordering
+or threshold decision, so the Spark plan and the DuckDB oracle make
+identical decisions.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 10
+N_QUERIES = 3  # vec_id < 3 act as the query set
+N_PLANES = 6
+DIM = 64
+
+# deterministic random hyperplanes, inlined identically into the Spark plan
+# and the oracle SQL (4-decimal literals so both engines parse the same
+# doubles)
+_rng = random.Random(20240816)
+PLANES: list[list[float]] = [
+    [round(_rng.gauss(0, 1), 4) for _ in range(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _cos(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.round(dot / (na * nb), 6)
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for the query vectors: crossJoin(broadcast
+    queries) — O(Q·N), one corpus scan, no shuffle of the corpus."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _cos(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_sum([q.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) /
+               (sqrt(list_sum([x * x for x in q.qv])) *
+                sqrt(list_sum([x * x for x in e.v]))), 6) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
+
+
+def _bucket_spark(vcol) -> F.Column:
+    bit_terms = None
+    for j, plane in enumerate(PLANES):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vcol, arr, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit_terms = bit if bit_terms is None else bit_terms + bit
+    return bit_terms.cast("int")
+
+
+def _bucket_duck(vexpr: str) -> str:
+    terms = []
+    for j, plane in enumerate(PLANES):
+        lits = "[" + ", ".join(f"{x}::DOUBLE" for x in plane) + "]"
+        dot = f"list_sum([({vexpr})[i] * ({lits})[i] for i in range(1, {DIM} + 1)])"
+        terms.append(f"(case when {dot} >= 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(terms) + ")::INT"
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: candidates share the query's bucket;
+    top-k by cosine within the bucket. Approximate by construction —
+    the oracle implements the identical approximation."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_spark(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        e.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _cos(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def ann_lsh_sql() -> str:
+    b = _bucket_duck("v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {b} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_sum([q.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) /
+               (sqrt(list_sum([x * x for x in q.qv])) *
+                sqrt(list_sum([x * x for x in e.v]))), 6) AS cos
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
