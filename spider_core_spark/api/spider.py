@@ -27,15 +27,21 @@ class Spider:
     parse_frame: Callable[[pd.DataFrame], pd.DataFrame] = staticmethod(
         default_parse_frame
     )
+    # False → items carry no text column (cuts the items sink's bytes ~10×
+    # when the downstream pipeline only needs metadata)
+    item_text: bool = True
 
     def build_items(self, parsed: DataFrame, epoch: int) -> DataFrame:
         """Parsed rows → items DataFrame (ITEMS schema). Override for custom
         item shapes (the reference's #[scraped_item] structs,
         src/lib.rs:13-17)."""
+        text = (
+            F.col("parsed.text") if self.item_text else F.lit(None).cast("string")
+        )
         return parsed.select(
             F.col("url"),
             F.col("parsed.title").alias("title"),
-            F.col("parsed.text").alias("text"),
+            text.alias("text"),
             F.col("lang"),
             F.size("parsed.links").cast("int").alias("n_links"),
             F.lit(epoch).cast("int").alias("epoch"),

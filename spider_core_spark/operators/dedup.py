@@ -84,6 +84,23 @@ def build_bloom_shards(
     return {r["shard"]: bytes(r["bits"]) for r in rows}
 
 
+def merge_bloom_shards(
+    base: dict[int, bytes], delta: dict[int, bytes]
+) -> dict[int, bytes]:
+    """OR two shard dicts — incremental Bloom maintenance (the epoch-scale
+    analog of the reference's batched write-behind flush,
+    src/scheduler.rs:529-551)."""
+    out = dict(base)
+    for s, bits in delta.items():
+        if s in out:
+            a = np.frombuffer(out[s], dtype=np.uint8)
+            b = np.frombuffer(bits, dtype=np.uint8)
+            out[s] = np.bitwise_or(a, b).tobytes()
+        else:
+            out[s] = bits
+    return out
+
+
 def bloom_prefilter(
     candidates: DataFrame,
     blooms: dict[int, bytes],

@@ -18,15 +18,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__rank_pid"
+# below this row count, a single-partition window sort is cheaper than the
+# two-phase rank's extra shuffle + offsets join (a 1M-row sort of narrow
+# frontier rows is a few hundred ms; the two-phase path exists for the
+# 10^9-row frontier case)
+SMALL_THRESHOLD = 1_000_000
 
 
-def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> DataFrame:
+def with_global_rank(
+    df: DataFrame, order_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
     """Dense 0-based rank by ``order_cols`` (must be a total order / unique
-    key for deterministic results). Returns df + ``out_col``; the input
-    partitioning is replaced by a range partitioning on the order columns.
+    key for deterministic results). Returns (df + ``out_col``, total rows) —
+    the total falls out of the counting phase for free, saving callers a
+    count job. The input partitioning is replaced by a range partitioning
+    on the order columns.
     """
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 2)
+
+    # adaptive small path: below the threshold a single count + one
+    # single-partition window beats the two-phase machinery (4 jobs → 2);
+    # the count is needed either way for the returned total
+    df = df.persist()
+    total = df.count()
+    if total <= SMALL_THRESHOLD:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        out = df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
+        out = out.persist()
+        out.count()
+        df.unpersist()
+        return out, total
+
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
@@ -56,4 +79,5 @@ def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str) -> Data
     out = out.persist()
     out.count()
     ranged.unpersist()
-    return out
+    df.unpersist()
+    return out, acc

@@ -137,17 +137,10 @@ def simulate(
                     kept.append(r)
             eligible = kept
 
-        # skip already-completed fingerprints (consumed silently)
-        live = [r for r in eligible if r.fingerprint not in seen]
-        seen_skipped = len(eligible) - len(live)
-
-        # collapse duplicate fingerprints: keep first by (priority, seq)
-        live.sort(key=lambda r: (r.priority, r.seq))
-        first: dict[str, _Req] = {}
-        for r in live:
-            first.setdefault(r.fingerprint, r)
-        deduped = sorted(first.values(), key=lambda r: (r.priority, r.seq))
-        dup_collapsed = len(live) - len(deduped)
+        # frontier invariant (see operators/frontier.py): enqueue-time dedup
+        # guarantees unique, never-completed fingerprints — no wave-time
+        # seen-skip or duplicate-collapse exists in either implementation
+        deduped = sorted(eligible, key=lambda r: (r.priority, r.seq))
 
         # politeness per-host budget (over-budget rows DEFER)
         taken_per_host: dict[str, int] = {}
@@ -253,6 +246,8 @@ def simulate(
         for rank, r, title, text, links, lang in parsed_rows:
             for pos, raw in enumerate(links):
                 nu = normalize_url_py(raw)
+                if cfg.max_depth is not None and r.depth + 1 > cfg.max_depth:
+                    continue
                 fp = fingerprint_py(nu)
                 cands.append(
                     _Req(
@@ -267,13 +262,17 @@ def simulate(
                     )
                 )
 
-        # enqueue dedup: vs seen (incl. this epoch's marks), keep first
+        # enqueue-time dedup vs (seen incl. this epoch's marks ∪ pending
+        # frontier ∪ retries ∪ same batch), keep first emission
+        pending_fps = {r.fingerprint for r in leftover}
+        pending_fps.update(r.fingerprint for r in retries)
         fresh: dict[str, _Req] = {}
         for c in sorted(cands, key=lambda r: (r.priority, r.seq)):
-            if c.fingerprint in seen:
+            if c.fingerprint in seen or c.fingerprint in pending_fps:
                 continue
             fresh.setdefault(c.fingerprint, c)
         new_rows = list(fresh.values()) + retries
+        urls_deduped = len(cands) - len(fresh)
 
         frontier = leftover + new_rows
         metrics[epoch] = {
@@ -285,8 +284,7 @@ def simulate(
             "requests_dropped": req_dropped + resp_dropped + robots_dropped,
             "requests_enqueued": len(new_rows),
             "bytes_downloaded": bytes_dl,
-            "seen_skipped": seen_skipped,
-            "dup_collapsed": dup_collapsed,
+            "urls_deduped": urls_deduped,
         }
         totals["requests_sent"] += len(sent)
         totals["requests_succeeded"] += n_ok
@@ -297,7 +295,7 @@ def simulate(
         totals["responses_received"] += len(sent) - n_miss
         totals["bytes_downloaded"] += bytes_dl
         totals["items_processed"] += len(parsed_rows)
-        totals["urls_deduped"] += seen_skipped + dup_collapsed
+        totals["urls_deduped"] += urls_deduped
         epoch += 1
 
     return SimResult(orders=orders, seen=seen, items=items, metrics=metrics, totals=totals)

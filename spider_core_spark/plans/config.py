@@ -32,6 +32,11 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20  # per shard
     bloom_hashes: int = 5
     use_bloom: bool = True
+    # below this seen-set size the exact anti-join is cheaper than a Bloom
+    # probe pass (the probe is a whole extra Python stage); the Bloom tier
+    # pays off once `seen` is large enough that most candidates would
+    # otherwise shuffle into the join
+    bloom_min_seen: int = 1
 
     # checkpointing (reference periodic checkpoint task,
     # src/crawler/core.rs:212-258): snapshot every k epochs; final always
@@ -40,6 +45,11 @@ class CrawlConfig:
 
     # skew: salt partitions on hot hosts before UDF-heavy stages
     skew_salt: int = 8
+
+    # detailed per-epoch counters + per-partition lineage rows. Costs a few
+    # extra count jobs per epoch; turn off for steady-state throughput runs
+    # (the wave/fetch/parse/dedup path is identical either way)
+    detailed_metrics: bool = True
 
     # statuses considered fetch success (mark-as-visited happens only after
     # success, src/crawler/request_handler.rs:352-362)

@@ -24,6 +24,7 @@ live in tables (10^10-frontier requirement).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,11 +87,16 @@ class CrawlEngine:
             ]
 
     # ------------------------------------------------------------ seeding
-    def _seed_frontier(self) -> DataFrame:
+    def _seed_frontier(self, seeds_df: DataFrame | None = None) -> DataFrame:
         """F0 seed injection (src/crawler/core.rs:378-405): list order →
-        seq, fragment stripped before enqueue (:391), intra-batch dedup."""
-        rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
-        seeds = self.spark.createDataFrame(rows, "url string, seq long")
+        seq, fragment stripped before enqueue (:391), intra-batch dedup.
+        Accepts a (url, seq) DataFrame for large seed lists — at a 10^10
+        frontier the seed list is itself a table, never a driver list."""
+        if seeds_df is not None:
+            seeds = seeds_df.select("url", F.col("seq").cast("long"))
+        else:
+            rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
+            seeds = self.spark.createDataFrame(rows, "url string, seq long")
         df = urlfn.with_url_columns(seeds).select(
             "url",
             "fingerprint",
@@ -137,12 +143,29 @@ class CrawlEngine:
         pages: DataFrame,
         robots: DataFrame | None = None,
         resume: bool = False,
+        seeds_df: DataFrame | None = None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.config
         store = CheckpointStore(spark, cfg.workdir)
-        fetcher = JoinFetcher(pages)
+        fetcher = JoinFetcher(
+            pages, cfg.extra.get("response_persist", "MEMORY_AND_DISK")
+        )
         par = max(spark.sparkContext.defaultParallelism, 2)
         t_run0 = time.monotonic()
+        profile = bool(cfg.extra.get("profile"))
+        stage_s: dict[str, float] = {}
+
+        class _T:
+            def __init__(self, name):
+                self.name = name
+
+            def __enter__(self):
+                self.t = time.monotonic()
+
+            def __exit__(self, *a):
+                stage_s[self.name] = stage_s.get(self.name, 0.0) + (
+                    time.monotonic() - self.t
+                )
 
         totals = {
             "requests_enqueued": 0,
@@ -174,26 +197,40 @@ class CrawlEngine:
         else:
             store.reset()
             epoch0 = 0
-            frontier = store.write_frontier(self._seed_frontier(), -1)
+            frontier = store.write_frontier(self._seed_frontier(seeds_df), -1)
             totals["requests_enqueued"] += frontier.count()
 
+        # seen-set size tracker: lets epoch 0 (and resumes) skip the seen
+        # joins; the Bloom shards below are maintained INCREMENTALLY (OR-in
+        # each epoch's new fingerprints) instead of rebuilt from the full
+        # seen table — the distributed analog of the reference's batched
+        # write-behind Bloom updates (src/scheduler.rs:529-551)
+        if manifest is not None:
+            seen0 = store.read_seen(epoch0 - 1)
+            n_seen = seen0.count()
+            blooms = (
+                dedup_ops.build_bloom_shards(
+                    seen0, cfg.n_shards, cfg.bloom_bits, cfg.bloom_hashes
+                )
+                if cfg.use_bloom
+                else None
+            )
+        else:
+            n_seen = 0
+            blooms = {} if cfg.use_bloom else None
+
+        detail = cfg.detailed_metrics
+        pool = ThreadPoolExecutor(max_workers=4)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
         while epoch < cfg.max_epochs:
             t0 = time.monotonic()
             seen = store.read_seen(epoch - 1)
-            blooms = (
-                dedup_ops.build_bloom_shards(
-                    seen, cfg.n_shards, cfg.bloom_bits, cfg.bloom_hashes
-                )
-                if cfg.use_bloom
-                else None
-            )
 
-            sel = frontier_ops.select_wave(frontier, seen, robots, epoch, cfg, blooms)
-            wave = sel.wave.persist()
-            n_wave = wave.count()
-            totals["urls_deduped"] += sel.seen_skipped + sel.dup_collapsed
+            with _T("select_wave"):
+                sel = frontier_ops.select_wave(frontier, robots, epoch, cfg, detail)
+            wave = sel.wave
+            n_wave = sel.n_wave
             totals["requests_dropped"] += sel.robots_dropped
 
             if n_wave == 0:
@@ -207,27 +244,60 @@ class CrawlEngine:
                 epoch = nb  # jump over empty retry-delay epochs
                 continue
 
-            # ---- request middleware chain (forward order)
-            rq = mw.run_request_chain(wave, self.middlewares).persist()
-            req_counts = rq.groupBy(mw.ACTION).count().collect()
-            rqc = {r[mw.ACTION]: r["count"] for r in req_counts}
-            req_retries = self._retry_rows(rq, epoch)
-            to_fetch = rq.filter(F.col(mw.ACTION) == mw.CONTINUE).drop(
-                mw.ACTION, mw.RETRY_DELAY
-            )
+            # ---- request middleware chain (forward order); skipped
+            # entirely when no middlewares are registered
+            if self.middlewares:
+                rq = mw.run_request_chain(wave, self.middlewares).persist()
+                rqc = {
+                    r[mw.ACTION]: r["count"]
+                    for r in rq.groupBy(mw.ACTION).count().collect()
+                }
+                req_retries = self._retry_rows(rq, epoch)
+                to_fetch = rq.filter(F.col(mw.ACTION) == mw.CONTINUE).drop(
+                    mw.ACTION, mw.RETRY_DELAY
+                )
+            else:
+                rq = None
+                rqc = {mw.CONTINUE: n_wave}
+                req_retries = None
+                to_fetch = wave
+            n_sent = int(rqc.get(mw.CONTINUE, 0))
 
-            # ---- fetch join (wave broadcast against the pages table)
-            responses, misses = fetcher.fetch(to_fetch)
+            # ---- fetch join (wave broadcast against the pages table);
+            # misses are counted arithmetically (sent - received), no job
+            responses, _misses = fetcher.fetch(to_fetch, persist=False)
 
             # ---- response middleware chain (REVERSED order)
-            rs = mw.run_response_chain(responses, self.middlewares).persist()
-            resp_retries = self._retry_rows(rs, epoch)
+            if self.middlewares:
+                rs0 = mw.run_response_chain(responses, self.middlewares)
+            else:
+                rs0 = responses.withColumn(mw.ACTION, F.lit(mw.CONTINUE)).withColumn(
+                    mw.RETRY_DELAY, F.lit(0)
+                )
+
+            # ---- parse fused into the single materialization pass: the
+            # Arrow UDF runs while the pages scan streams by, and the ONE
+            # cached DataFrame per epoch is SLIM — html is dropped before
+            # persist. (A cache that kept html would force every downstream
+            # stage — counters, items, candidates, seen marks — to re-read
+            # the multi-GB body column: cache reads don't column-prune.)
+            # No salt shuffle either: the broadcast fetch join leaves rows
+            # in pages-scan partitioning, which is uniform regardless of
+            # host skew. cfg.skew_salt remains for spiders that force a
+            # repartition (HttpFetcher-style per-host fetch stages).
+            t_parse0 = time.monotonic()
+            parse_udf = parse_ops.make_parse_udf(self.spider.parse_frame)
+            rs = (
+                rs0.withColumn("parsed", parse_udf(F.col("url"), F.col("html")))
+                .drop("html", "warc_ts", "text")
+                .persist()
+            )
+            resp_retries = self._retry_rows(rs, epoch) if self.middlewares else None
             cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
             ok = cont.filter(F.col("status") <= cfg.success_max_status)
-            bad = cont.filter(F.col("status") > cfg.success_max_status)
 
-            # one aggregation pass for the fetch-stage counters (A1/A2)
-            st = rs.agg(
+            # one aggregation pass for ALL fetch-stage counters (A1/A2)
+            st_q = rs.agg(
                 F.count("*").alias("received"),
                 F.coalesce(F.sum("fetch_bytes"), F.lit(0)).alias("bytes"),
                 F.coalesce(
@@ -241,20 +311,30 @@ class CrawlEngine:
                     F.sum(F.when(F.col(mw.ACTION) == mw.RETRY, 1).otherwise(0)),
                     F.lit(0),
                 ).alias("resp_retried"),
-            ).collect()[0]
-            n_miss = misses.count()
-            n_ok = ok.count()
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE)
+                            & (F.col("status") <= cfg.success_max_status),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("ok"),
+            )
+            with _T("fetch_agg"):
+                st = st_q.collect()[0]
+            n_miss = n_sent - int(st["received"])
+            n_ok = int(st["ok"])
 
-            # ---- parse (salted against hot-host skew, then Arrow UDF)
-            t_parse0 = time.monotonic()
-            ok_salted = salt_repartition(ok, par, cfg.skew_salt)
-            parsed = parse_ops.apply_parse(
-                ok_salted, self.spider.parse_frame
-            ).persist()
-            items = self.spider.build_items(parsed, epoch)
-            items_out, items_dropped = run_pipelines(items, self.pipelines, epoch)
-            n_items = items_out.count()
-            store.append_epoch(items_out, "items", epoch)
+            items = self.spider.build_items(ok, epoch)
+            if self.pipelines:
+                items_out, items_dropped = run_pipelines(items, self.pipelines, epoch)
+                n_items = items_out.count()
+            else:
+                items_out, items_dropped, n_items = items, 0, n_ok
+            with _T("parse_items_write"):
+                store.append_epoch(items_out, "items", epoch)
             parse_ms = (time.monotonic() - t_parse0) * 1000
 
             # ---- mark visited AFTER success (request_handler.rs:352-362)
@@ -265,32 +345,37 @@ class CrawlEngine:
                     "shard"
                 ),
             )
-            store.write_seen_delta(new_seen, epoch)
-            new_seen_disk = spark.read.schema(schemas.SEEN).parquet(
-                store.seen_dir(epoch)
-            )
 
-            # ---- discovered links → candidates → dedup → enqueue
-            cands = parse_ops.link_candidates(parsed, epoch)
-            # two-tier dedup: (bloom + exact) vs old seen, then exact vs the
-            # epoch's fresh marks (small side broadcast — blooms are stale
-            # for this epoch's own fetches)
+            # ---- discovered links → candidates → enqueue-time dedup against
+            # (seen ∪ this epoch's marks ∪ pending frontier ∪ same batch) —
+            # see the dedup INVARIANT note in operators/frontier.py. The
+            # Bloom shards prefilter the old-seen tier; this epoch's fresh
+            # marks and the pending set are exact joins.
+            cands = parse_ops.link_candidates(ok, epoch)
+            if cfg.max_depth is not None:
+                cands = cands.filter(F.col("depth") <= cfg.max_depth)
+            retries = [r for r in (req_retries, resp_retries) if r is not None]
+            n_cands_raw = cands.count() if detail else 0
             cands = dedup_ops.dedup_against_seen(
                 cands,
                 seen,
                 use_bloom=cfg.use_bloom,
-                blooms=blooms,
+                # below bloom_min_seen the probe stage costs more than the
+                # (near-empty) exact anti-join it would prefilter
+                blooms=blooms if n_seen >= cfg.bloom_min_seen else None,
                 n_shards=cfg.n_shards,
                 n_bits=cfg.bloom_bits,
                 n_hashes=cfg.bloom_hashes,
             ).join(
-                F.broadcast(new_seen_disk.select("fingerprint")),
+                F.broadcast(new_seen.select("fingerprint")),
                 "fingerprint",
                 "left_anti",
             )
-            # intra-batch dedup: keep first by (priority, seq) — the
-            # reference enqueues the first emission, later ones hit the
-            # seen/pending checks
+            pending_fps = sel.leftover.select("fingerprint")
+            for r in retries:
+                pending_fps = pending_fps.unionByName(r.select("fingerprint"))
+            cands = cands.join(pending_fps, "fingerprint", "left_anti")
+            # same-batch dedup: keep first emission by (priority, seq)
             wdup = Window.partitionBy("fingerprint").orderBy("priority", "seq")
             cands = (
                 cands.withColumn("_rn", F.row_number().over(wdup))
@@ -298,31 +383,45 @@ class CrawlEngine:
                 .drop("_rn")
             )
 
-            frontier_next = (
-                sel.leftover.select(*_FCOLS)
-                .unionByName(cands.select(*_FCOLS))
-                .unionByName(req_retries.select(*_FCOLS))
-                .unionByName(resp_retries.select(*_FCOLS))
+            frontier_next = sel.leftover.select(*_FCOLS).unionByName(
+                cands.select(*_FCOLS)
             )
-            # commit: frontier snapshot every epoch — it is both the resume
-            # point and the lineage break (iterative plans otherwise grow)
-            n_leftover = sel.leftover.count()
-            frontier = store.write_frontier(frontier_next, epoch)
-            n_frontier = frontier.count()  # cheap: parquet count
-            n_enq = n_frontier - n_leftover  # newly enqueued this epoch
+            for r in retries:
+                frontier_next = frontier_next.unionByName(r.select(*_FCOLS))
 
-            # ---- order log (golden crawl-order parity artifact)
-            store.append_epoch(
-                wave.select(
-                    "url",
-                    "wave_rank",
-                    "host",
-                    "depth",
-                    F.lit(epoch).cast("int").alias("epoch"),
-                ),
-                "order",
-                epoch,
-            )
+            # ---- commit phase: the frontier snapshot, seen delta, order log
+            # and metrics are independent outputs — submit them as
+            # CONCURRENT Spark jobs (threaded driver) so their latencies
+            # overlap instead of adding up
+            def _commit_frontier():
+                # frontier snapshot every epoch — both the resume point and
+                # the lineage break (iterative plans otherwise grow)
+                return store.write_frontier(frontier_next, epoch)
+
+            def _commit_seen():
+                store.write_seen_delta(new_seen, epoch)
+                if cfg.use_bloom:
+                    # incremental Bloom: OR the epoch's new fingerprints into
+                    # the cached shard bitsets (no full-seen rescan)
+                    return dedup_ops.build_bloom_shards(
+                        new_seen, cfg.n_shards, cfg.bloom_bits, cfg.bloom_hashes
+                    )
+                return None
+
+            def _commit_order():
+                # the single-partition ranked cache would write serially;
+                # spread the artifact across tasks (readers re-sort anyway)
+                store.append_epoch(
+                    wave.select(
+                        "url",
+                        "wave_rank",
+                        "host",
+                        "depth",
+                        F.lit(epoch).cast("int").alias("epoch"),
+                    ).repartition(min(par, 32)),
+                    "order",
+                    epoch,
+                )
 
             # ---- metrics (A1-A8): per-partition fetch lineage + epoch row
             wall_ms = int((time.monotonic() - t0) * 1000)
@@ -344,54 +443,93 @@ class CrawlEngine:
             totals["items_scraped"] += n_ok  # once per parse output (§3.3)
             totals["items_processed"] += n_items
             totals["items_dropped"] += items_dropped
-            totals["requests_enqueued"] += n_enq
 
-            per_part = (
-                rs.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(
-                    F.count("*").alias("responses_received"),
-                    F.coalesce(F.sum("fetch_bytes"), F.lit(0)).alias(
-                        "bytes_downloaded"
-                    ),
-                    F.coalesce(
-                        F.sum(
-                            F.when(
-                                F.col("status") <= cfg.success_max_status, 1
-                            ).otherwise(0)
-                        ),
-                        F.lit(0),
-                    ).alias("requests_succeeded"),
+            def _commit_metrics(n_enq_val: int) -> None:
+                epoch_row = spark.createDataFrame(
+                    [
+                        {
+                            "epoch": epoch,
+                            "partition_id": None,
+                            "requests_enqueued": n_enq_val,
+                            "requests_sent": int(rqc.get(mw.CONTINUE, 0)),
+                            "requests_succeeded": n_ok,
+                            "requests_failed": n_miss + n_bad,
+                            "requests_retried": n_retried,
+                            "requests_dropped": n_dropped + sel.robots_dropped,
+                            "responses_received": int(st["received"]),
+                            "responses_from_cache": int(st["cached"]),
+                            "bytes_downloaded": int(st["bytes"]),
+                            "items_scraped": n_ok,
+                            "items_processed": n_items,
+                            "items_dropped": items_dropped,
+                            "fetch_ms_avg": None,
+                            "parse_ms_avg": parse_ms / max(n_ok, 1),
+                            "wall_ms": wall_ms,
+                        }
+                    ],
+                    schemas.METRICS,
                 )
-                .withColumn("epoch", F.lit(epoch).cast("int"))
-            )
-            epoch_row = spark.createDataFrame(
-                [
-                    {
-                        "epoch": epoch,
-                        "partition_id": None,
-                        "requests_enqueued": n_enq,
-                        "requests_sent": int(rqc.get(mw.CONTINUE, 0)),
-                        "requests_succeeded": n_ok,
-                        "requests_failed": n_miss + n_bad,
-                        "requests_retried": n_retried,
-                        "requests_dropped": n_dropped + sel.robots_dropped,
-                        "responses_received": int(st["received"]),
-                        "responses_from_cache": int(st["cached"]),
-                        "bytes_downloaded": int(st["bytes"]),
-                        "items_scraped": n_ok,
-                        "items_processed": n_items,
-                        "items_dropped": items_dropped,
-                        "fetch_ms_avg": None,
-                        "parse_ms_avg": parse_ms / max(n_ok, 1),
-                        "wall_ms": wall_ms,
-                    }
-                ],
-                schemas.METRICS,
-            )
-            metrics_df = epoch_row.unionByName(
-                per_part, allowMissingColumns=True
-            ).select([F.col(f.name).cast(f.dataType) for f in schemas.METRICS.fields])
-            store.append_epoch(metrics_df, "metrics", epoch)
+                if detail:
+                    # per-partition fetch lineage rows (north_star: "per-
+                    # partition lineage + metrics")
+                    per_part = (
+                        rs.groupBy(F.spark_partition_id().alias("partition_id"))
+                        .agg(
+                            F.count("*").alias("responses_received"),
+                            F.coalesce(F.sum("fetch_bytes"), F.lit(0)).alias(
+                                "bytes_downloaded"
+                            ),
+                            F.coalesce(
+                                F.sum(
+                                    F.when(
+                                        F.col("status") <= cfg.success_max_status,
+                                        1,
+                                    ).otherwise(0)
+                                ),
+                                F.lit(0),
+                            ).alias("requests_succeeded"),
+                        )
+                        .withColumn("epoch", F.lit(epoch).cast("int"))
+                    )
+                    metrics_df = epoch_row.unionByName(
+                        per_part, allowMissingColumns=True
+                    ).select(
+                        [
+                            F.col(f.name).cast(f.dataType)
+                            for f in schemas.METRICS.fields
+                        ]
+                    )
+                else:
+                    metrics_df = epoch_row
+                store.append_epoch(metrics_df, "metrics", epoch)
+
+            # ---- commit phase: frontier snapshot, seen delta + Bloom
+            # delta, order log and (non-detail) metrics are independent
+            # outputs — run them as CONCURRENT Spark jobs so their
+            # latencies overlap instead of adding up
+            with _T("commit_parallel"):
+                f_frontier = pool.submit(_commit_frontier)
+                f_seen = pool.submit(_commit_seen)
+                f_order = pool.submit(_commit_order)
+                f_metrics = None if detail else pool.submit(_commit_metrics, 0)
+                frontier = f_frontier.result()
+                delta = f_seen.result()
+                f_order.result()
+                if f_metrics is not None:
+                    f_metrics.result()
+            if cfg.use_bloom and delta is not None:
+                blooms = dedup_ops.merge_bloom_shards(blooms or {}, delta)
+            n_seen += n_ok
+
+            n_leftover = sel.leftover.count() if detail else 0
+            n_frontier = frontier.count() if detail else 0  # parquet count
+            n_enq = n_frontier - n_leftover  # newly enqueued this epoch
+            totals["requests_enqueued"] += n_enq
+            if detail:
+                # candidates killed by the enqueue-time dedup tiers
+                totals["urls_deduped"] += n_cands_raw - (n_enq - n_retried)
+                with _T("metrics_write"):
+                    _commit_metrics(n_enq)
 
             # manifest commit = the epoch becomes the resume point
             store.write_manifest(
@@ -407,10 +545,17 @@ class CrawlEngine:
                     }
                 )
             last_epoch_done = epoch
-            for df in (wave, rq, responses, rs, parsed):
-                df.unpersist()
+            for df in (wave, rq, rs):
+                if df is not None:
+                    df.unpersist()
+            if profile:
+                print(f"[epoch {epoch}] wave={n_wave} "
+                      + " ".join(f"{k}={v:.2f}s" for k, v in stage_s.items()),
+                      flush=True)
+                stage_s.clear()
             epoch += 1
 
+        pool.shutdown(wait=True)
         for p in self.pipelines:
             p.close()
         wall = time.monotonic() - t_run0

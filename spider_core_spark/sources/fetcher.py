@@ -29,9 +29,13 @@ from spider_core_spark.functions.hashing import h64_col
 
 
 class JoinFetcher:
-    """Resolve a wave of requests against a pages table."""
+    """Resolve a wave of requests against a pages table.
 
-    def __init__(self, pages: DataFrame):
+    ``storage_level``: cache level for the responses (they are read twice —
+    counters agg, then parse). "DISK_ONLY" keeps multi-GB html waves off
+    the heap for big steady-state waves; default keeps memory speed."""
+
+    def __init__(self, pages: DataFrame, storage_level: str = "MEMORY_AND_DISK"):
         # normalize: keep only the response columns fetch produces
         cols = ["url", "warc_ts", "html", "text", "lang"]
         status = (
@@ -40,8 +44,11 @@ class JoinFetcher:
             else F.lit(200).cast("int")
         )
         self.pages = pages.select(*cols, status.alias("status"))
+        self.storage_level = storage_level
 
-    def fetch(self, wave: DataFrame, broadcast_wave: bool = True) -> tuple[DataFrame, DataFrame]:
+    def fetch(
+        self, wave: DataFrame, broadcast_wave: bool = True, persist: bool = True
+    ) -> tuple[DataFrame, DataFrame]:
         """Returns (responses, misses).
 
         A naive ``wave LEFT JOIN pages`` cannot broadcast the wave (Spark
@@ -66,7 +73,10 @@ class JoinFetcher:
                 "fetch_bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
             )
         )
-        responses = responses.persist()
+        if persist:
+            from pyspark import StorageLevel
+
+            responses = responses.persist(getattr(StorageLevel, self.storage_level))
         hit_urls = responses.select("url")
         misses = wave.join(F.broadcast(hit_urls), "url", "left_anti")
         for c in resp_cols:

@@ -46,8 +46,14 @@ def _component(site: int, n_sites: int) -> int:
     return 1 if n_sites > 3 and site >= n_sites - 2 else 0
 
 
-def gen_page(page_id: int, n_pages: int, n_sites: int, seed: int) -> dict:
-    """Generate one page row, fully determined by (seed, page_id)."""
+def gen_page(
+    page_id: int, n_pages: int, n_sites: int, seed: int, density: int = 1
+) -> dict:
+    """Generate one page row, fully determined by (seed, page_id).
+
+    ``density`` scales paragraph count/length (and thus html size and
+    extraction cost) without touching the link graph — used by the bench
+    to make parse compute-bound while tests keep the default."""
     rng = random.Random(f"{seed}:{page_id}")
     per_site = max(1, n_pages // n_sites)
     site = min(page_id // per_site, n_sites - 1)
@@ -89,7 +95,7 @@ def gen_page(page_id: int, n_pages: int, n_sites: int, seed: int) -> dict:
             tgt = f"{tgt}#sec{rng.randrange(5)}"
         links.append(tgt)
 
-    n_paras = 1 + rng.randrange(3)
+    n_paras = (1 + rng.randrange(3)) * density
     paras = [
         " ".join(rng.choice(_WORDS) for _ in range(8 + rng.randrange(40)))
         for _ in range(n_paras)
@@ -122,18 +128,20 @@ def gen_page(page_id: int, n_pages: int, n_sites: int, seed: int) -> dict:
 
 
 def gen_pages_rows(
-    page_ids: Iterable[int], n_pages: int, n_sites: int, seed: int
+    page_ids: Iterable[int], n_pages: int, n_sites: int, seed: int,
+    density: int = 1,
 ) -> list[dict]:
-    return [gen_page(pid, n_pages, n_sites, seed) for pid in page_ids]
+    return [gen_page(pid, n_pages, n_sites, seed, density) for pid in page_ids]
 
 
-def gen_pages_df(spark, n_pages: int, n_sites: int, seed: int = 42):
+def gen_pages_df(spark, n_pages: int, n_sites: int, seed: int = 42,
+                 density: int = 1):
     """Distributed generation: mapInPandas over spark.range — scales to any
     page count without driver memory; deterministic per page_id."""
 
     def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = gen_pages_rows(b["id"].tolist(), n_pages, n_sites, seed)
+            rows = gen_pages_rows(b["id"].tolist(), n_pages, n_sites, seed, density)
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "text", "lang", "status"],
@@ -171,11 +179,12 @@ def gen_robots(n_sites: int, seed: int = 42) -> list[dict]:
 
 
 def write_fixture(
-    spark, outdir: str, n_pages: int, n_sites: int, seed: int = 42
+    spark, outdir: str, n_pages: int, n_sites: int, seed: int = 42,
+    density: int = 1,
 ) -> None:
-    gen_pages_df(spark, n_pages, n_sites, seed).write.mode("overwrite").parquet(
-        f"{outdir}/pages.parquet"
-    )
+    gen_pages_df(spark, n_pages, n_sites, seed, density).write.mode(
+        "overwrite"
+    ).parquet(f"{outdir}/pages.parquet")
     spark.createDataFrame(gen_seeds(n_sites), schemas.SEEDS).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{outdir}/seeds.parquet")
