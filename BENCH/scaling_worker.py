@@ -43,6 +43,7 @@ def main():
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.local.dir", "/dev/shm/spark_local")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.locality.wait", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
         .config("spark.sql.maxPlanStringLength", "5000")
@@ -53,7 +54,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from spider_core_spark import CrawlConfig, CrawlEngine, Spider
+    from spider_core_spark.operators import rank as rk
     from spider_core_spark.sources import sitegen
+
+    # force the distributed two-phase rank (the single-window path is a
+    # serial sort that penalizes exactly the wide level we are measuring)
+    rk.SMALL_THRESHOLD = 100_000
 
     site = f"{CACHE}/site_{n_pages}_d{density}"
     if not os.path.exists(f"{site}/pages.parquet/_SUCCESS"):
@@ -70,6 +76,7 @@ def main():
         use_bloom=True,
         detailed_metrics=False,
         skew_salt=0,
+        seeds_pre_deduped=(mode == "steady"),
         extra={"profile": 1},
     )
     if mode == "steady":

@@ -51,6 +51,10 @@ class CrawlConfig:
     # (the wave/fetch/parse/dedup path is identical either way)
     detailed_metrics: bool = True
 
+    # caller guarantees the seed list has unique fingerprints → skip the
+    # injection-time dedup window (big table-sourced seed lists)
+    seeds_pre_deduped: bool = False
+
     # statuses considered fetch success (mark-as-visited happens only after
     # success, src/crawler/request_handler.rs:352-362)
     success_max_status: int = 399

@@ -110,6 +110,8 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).cast("int").alias("epoch_added"),
         )
+        if self.config.seeds_pre_deduped:
+            return df
         w = Window.partitionBy("fingerprint").orderBy("seq")
         return (
             df.withColumn("_rn", F.row_number().over(w))

@@ -1,0 +1,69 @@
+"""Checkpoint/resume (SURVEY.md §5.2.5): kill after epoch k, resume, final
+items/seen/order identical to an uninterrupted run; salvaged-row merge
+(U2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spider_core_spark import schemas
+from spider_core_spark.api.spider import Spider
+from spider_core_spark.plans.config import CrawlConfig
+from spider_core_spark.plans.engine import CrawlEngine
+from spider_core_spark.sources import sitegen
+
+N_PAGES, N_SITES, SEED = 120, 4, 11
+
+
+@pytest.fixture(scope="module")
+def site(spark):
+    rows = sitegen.gen_pages_rows(range(N_PAGES), N_PAGES, N_SITES, SEED)
+    pages_df = spark.createDataFrame(rows, schemas.PAGES)
+    seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
+    return pages_df, seeds
+
+
+def _run(spark, site, wd, max_epochs, resume=False):
+    pages_df, seeds = site
+    cfg = CrawlConfig(
+        workdir=wd, max_epochs=max_epochs, max_wave_size=40,
+        default_host_budget=10**9, use_robots=False, n_shards=4,
+    )
+    eng = CrawlEngine(spark, Spider(start_urls=seeds), cfg)
+    return eng.run(pages_df, resume=resume)
+
+
+def _snapshot(res):
+    items = {(r["url"], r["text"], r["epoch"]) for r in res.items().collect()}
+    seen = {r["fingerprint"] for r in res.seen().collect()}
+    order = sorted(
+        (r["epoch"], r["wave_rank"], r["url"]) for r in res.order().collect()
+    )
+    return items, seen, order
+
+
+def test_kill_resume_identical(spark, site, tmp_path_factory):
+    wd_full = str(tmp_path_factory.mktemp("full"))
+    wd_kill = str(tmp_path_factory.mktemp("kill"))
+    full = _run(spark, site, wd_full, max_epochs=12)
+    _run(spark, site, wd_kill, max_epochs=3)  # "killed" after epoch 2
+    resumed = _run(spark, site, wd_kill, max_epochs=12, resume=True)
+    assert _snapshot(full) == _snapshot(resumed)
+    # totals carried across the resume
+    assert full.totals == resumed.totals
+
+
+def test_salvaged_rows_are_selected(spark, site, tmp_path_factory):
+    """U2: rows with state='salvaged' re-enter wave selection like pending
+    (reference merges salvage queue at checkpoint, checkpoint.rs:118-123)."""
+    from spider_core_spark.operators.frontier import select_wave
+
+    pages_df, _ = site
+    rows = [
+        ("https://x.test/a", "f1", "x.test", 1, 0, 0, 1, 0, 0, "salvaged", 0),
+        ("https://x.test/b", "f2", "x.test", 1, 0, 0, 2, 0, 0, "pending", 0),
+        ("https://x.test/c", "f3", "x.test", 1, 0, 0, 3, 0, 0, "fetched", 0),
+    ]
+    frontier = spark.createDataFrame(rows, schemas.FRONTIER)
+    sel = select_wave(frontier, None, epoch=0, cfg=CrawlConfig(use_robots=False))
+    urls = {r["url"] for r in sel.wave.collect()}
+    assert urls == {"https://x.test/a", "https://x.test/b"}
