@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the crawl engine.
+
+    spark-submit --py-files spider_core_spark.zip main.py \
+        --pages /data/pages.parquet --seeds /data/seeds.parquet \
+        --robots /data/robots.parquet --workdir /data/crawl_run \
+        --max-epochs 50 --max-wave 1000000 [--resume] [--streaming]
+
+Build the zip with:  python -m zipfile -c spider_core_spark.zip spider_core_spark
+(or `scripts/package.sh`). On a cluster the same command runs unchanged —
+state lives in tables, so executors never share driver memory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="spider_core_spark crawl runner")
+    ap.add_argument("--pages", required=True, help="pages table (parquet/iceberg)")
+    ap.add_argument("--seeds", help="seed table (url, seq) — or --seed-urls")
+    ap.add_argument("--seed-urls", nargs="*", default=[], help="inline seed urls")
+    ap.add_argument("--robots", help="robots rules table")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--max-epochs", type=int, default=100)
+    ap.add_argument("--max-wave", type=int, default=30_000)
+    ap.add_argument("--host-budget", type=int, default=1_000_000)
+    ap.add_argument("--max-retries", type=int, default=0)
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-detail", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from spider_core_spark import CrawlConfig, CrawlEngine, Spider
+    from spider_core_spark.streaming.stream_engine import StreamingCrawlEngine
+
+    spark = SparkSession.builder.appName("spider-core-spark-crawl").getOrCreate()
+
+    pages = spark.read.parquet(args.pages)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    seeds_df = spark.read.parquet(args.seeds) if args.seeds else None
+
+    cfg = CrawlConfig(
+        workdir=args.workdir,
+        max_epochs=args.max_epochs,
+        max_wave_size=args.max_wave,
+        default_host_budget=args.host_budget,
+        max_retries=args.max_retries,
+        use_robots=robots is not None,
+        use_bloom=not args.no_bloom,
+        detailed_metrics=not args.no_detail,
+        seeds_pre_deduped=seeds_df is not None,
+    )
+    spider = Spider(start_urls=list(args.seed_urls))
+
+    if args.streaming:
+        out = StreamingCrawlEngine(spark, spider, cfg).run(pages)
+        print(json.dumps({"mode": "streaming", "seen": out["seen"].count()}))
+    else:
+        res = CrawlEngine(spark, spider, cfg).run(
+            pages, robots=robots, resume=args.resume, seeds_df=seeds_df
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "bsp",
+                    "epochs": res.epochs_run,
+                    "wall_s": round(res.wall_s, 2),
+                    "totals": res.totals,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

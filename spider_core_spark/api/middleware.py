@@ -111,6 +111,26 @@ class RetryOnStatus(Middleware):
         )
 
 
+class ServeFromCache(Middleware):
+    """Response-side ReturnResponse analog (reference
+    request_handler.rs:243-251): rows matching the predicate short-circuit
+    the rest of the chain and are counted responses_from_cache (the engine
+    sets `cached` for SERVE-tagged rows)."""
+
+    name = "serve_from_cache"
+
+    def __init__(self, predicate: str):
+        self.predicate = predicate
+
+    def response_action(self, df):
+        return (
+            F.when(F.expr(self.predicate), F.lit(SERVE)).otherwise(
+                F.lit(CONTINUE)
+            ),
+            F.lit(0),
+        )
+
+
 class MaxBodySize(Middleware):
     """Response-side drop for oversized bodies."""
 

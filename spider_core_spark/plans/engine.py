@@ -294,6 +294,12 @@ class CrawlEngine:
                 .drop("html", "warc_ts", "text")
                 .persist()
             )
+            # SERVE-tagged rows are cache-served responses (ReturnResponse
+            # analog) — counted responses_from_cache via the fused agg
+            if self.middlewares:
+                rs = rs.withColumn(
+                    "cached", F.col("cached") | (F.col(mw.ACTION) == mw.SERVE)
+                )
             resp_retries = self._retry_rows(rs, epoch) if self.middlewares else None
             cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
             ok = cont.filter(F.col("status") <= cfg.success_max_status)
