@@ -72,9 +72,13 @@ def select_wave(
     epoch: int,
     cfg: CrawlConfig,
     detail: bool = True,
+    budgets: DataFrame | None = None,
 ) -> WaveSelection:
     """``detail=False`` (steady-state/bench mode) skips the count jobs that
-    exist only for counters; wave and leftover are identical either way."""
+    exist only for counters; wave and leftover are identical either way.
+    ``budgets``: optional adaptive per-host budgets (host, budget) from the
+    previous epoch's error-rate feedback (A8); the effective budget is the
+    LEAST of robots max_per_epoch, adaptive budget, and the default."""
     fcols = frontier.columns
     elig_cond = (F.col("not_before_epoch") <= F.lit(epoch)) & F.col("state").isin(
         "pending", "salvaged"
@@ -103,14 +107,37 @@ def select_wave(
         allowed = eligible.withColumn("max_per_epoch", F.lit(None).cast("int"))
 
     # --- per-host politeness budget (host-partitioned window: distributed).
-    # With no robots table and an effectively-infinite default budget the
-    # window is an identity — skip it (same rule in the simulator).
-    unlimited = robots is None and cfg.default_host_budget >= 10**9
+    # With no robots table, no adaptive budgets and an effectively-infinite
+    # default the window is an identity — skip it (same rule in the
+    # simulator).
+    unlimited = (
+        robots is None and budgets is None and cfg.default_host_budget >= 10**9
+    )
     if unlimited:
         within = allowed.select(*fcols)
         over_budget = None
     else:
-        budget = F.coalesce(F.col("max_per_epoch"), F.lit(cfg.default_host_budget))
+        if budgets is not None:
+            allowed = allowed.join(
+                F.broadcast(
+                    budgets.select("host", F.col("budget").alias("_adaptive"))
+                ),
+                "host",
+                "left",
+            )
+        else:
+            allowed = allowed.withColumn("_adaptive", F.lit(None).cast("int"))
+        budget = F.least(
+            F.coalesce(F.col("max_per_epoch"), F.lit(cfg.default_host_budget)),
+            F.coalesce(
+                F.col("_adaptive"),
+                F.lit(
+                    cfg.adaptive_start_budget
+                    if cfg.adaptive_budget
+                    else cfg.default_host_budget
+                ),
+            ),
+        )
         whost = Window.partitionBy("host").orderBy("priority", "seq")
         polite = allowed.withColumn("_hrn", F.row_number().over(whost)).withColumn(
             "_over_budget", F.col("_hrn") > budget

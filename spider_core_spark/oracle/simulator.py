@@ -46,6 +46,11 @@ class SimConfig:
     retry_delay_epochs: int = 1
     success_max_status: int = 399
     drop_url_pattern: str | None = None  # DropUrlPattern analog
+    # A8 adaptive per-host budget feedback (same rule as the engine)
+    adaptive_budget: bool = False
+    adaptive_error_hi: float = 0.10
+    adaptive_error_lo: float = 0.01
+    adaptive_start_budget: int = 100
 
 
 @dataclass
@@ -111,6 +116,7 @@ def simulate(
         "urls_deduped": 0,
     }
 
+    adaptive: dict[str, int] = {}
     epoch = 0
     while epoch < cfg.max_epochs and frontier:
         eligible, not_yet = [], []
@@ -142,7 +148,8 @@ def simulate(
         # seen-skip or duplicate-collapse exists in either implementation
         deduped = sorted(eligible, key=lambda r: (r.priority, r.seq))
 
-        # politeness per-host budget (over-budget rows DEFER)
+        # politeness per-host budget (over-budget rows DEFER); effective
+        # budget = least(robots max_per_epoch, adaptive budget, default)
         taken_per_host: dict[str, int] = {}
         polite, over_budget = [], []
         for r in deduped:
@@ -151,6 +158,12 @@ def simulate(
                 if (cfg.use_robots and robots)
                 else None
             ) or cfg.default_host_budget
+            if cfg.adaptive_budget:
+                budget = min(
+                    budget,
+                    adaptive.get(r.host, cfg.adaptive_start_budget),
+                    cfg.default_host_budget,
+                )
             c = taken_per_host.get(r.host, 0)
             if c < budget:
                 taken_per_host[r.host] = c + 1
@@ -187,14 +200,20 @@ def simulate(
         retries: list[_Req] = []
         parsed_rows = []  # (wave_rank, req, title, text, links, lang)
 
+        sent_h: dict[str, int] = {}
+        err_h: dict[str, int] = {}
         sent_ids = {id(r) for r in sent}
         for rank, r in enumerate(wave):
             if id(r) not in sent_ids:
                 continue
+            sent_h[r.host] = sent_h.get(r.host, 0) + 1
             page = pages.get(r.url)
             if page is None:
                 n_miss += 1
+                err_h[r.host] = err_h.get(r.host, 0) + 1
                 continue
+            if page.get("status", 200) > cfg.success_max_status:
+                err_h[r.host] = err_h.get(r.host, 0) + 1
             status = page.get("status", 200)
             bytes_dl += len(page.get("html") or b"")
             # response middleware: RetryOnStatus analog
@@ -273,6 +292,18 @@ def simulate(
             fresh.setdefault(c.fingerprint, c)
         new_rows = list(fresh.values()) + retries
         urls_deduped = len(cands) - len(fresh)
+
+        # A8 adaptive feedback (same thresholds as the engine)
+        if cfg.adaptive_budget:
+            for h, n_sent_h in sent_h.items():
+                cur = adaptive.get(h, cfg.adaptive_start_budget)
+                rate = err_h.get(h, 0) / n_sent_h
+                if rate > cfg.adaptive_error_hi:
+                    adaptive[h] = max(cur // 2, 1)
+                elif rate < cfg.adaptive_error_lo:
+                    adaptive[h] = min(cur * 2, cfg.default_host_budget)
+                else:
+                    adaptive[h] = cur
 
         frontier = leftover + new_rows
         metrics[epoch] = {

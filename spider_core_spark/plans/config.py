@@ -55,6 +55,16 @@ class CrawlConfig:
     # injection-time dedup window (big table-sourced seed lists)
     seeds_pre_deduped: bool = False
 
+    # adaptive per-host politeness feedback — the AdaptiveSemaphore analog
+    # (reference src/concurrency.rs:87-134: halve permits when error rate
+    # >10%, grow when <1%). Deterministic rule on per-host error rates, so
+    # the simulator can mirror it exactly; budgets persist across epochs
+    # and resume from checkpoint.
+    adaptive_budget: bool = False
+    adaptive_error_hi: float = 0.10
+    adaptive_error_lo: float = 0.01
+    adaptive_start_budget: int = 100
+
     # statuses considered fetch success (mark-as-visited happens only after
     # success, src/crawler/request_handler.rs:352-362)
     success_max_status: int = 399

@@ -223,6 +223,22 @@ class CrawlEngine:
             blooms = {} if cfg.use_bloom else None
 
         detail = cfg.detailed_metrics
+
+        # adaptive per-host budgets (A8 feedback): (host, budget) table,
+        # persisted per epoch, resumable. None until the first epoch writes.
+        def _budgets_dir(e: int) -> str:
+            return f"{cfg.workdir}/budgets/epoch={e}"
+
+        budgets = None
+        if cfg.adaptive_budget:
+            import os as _os
+
+            for e in range(epoch0 - 1, -1, -1):
+                if _os.path.exists(_budgets_dir(e)):
+                    budgets = spark.read.schema("host string, budget int").parquet(
+                        _budgets_dir(e)
+                    )
+                    break
         pool = ThreadPoolExecutor(max_workers=4)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
@@ -231,7 +247,9 @@ class CrawlEngine:
             seen = store.read_seen(epoch - 1)
 
             with _T("select_wave"):
-                sel = frontier_ops.select_wave(frontier, robots, epoch, cfg, detail)
+                sel = frontier_ops.select_wave(
+                    frontier, robots, epoch, cfg, detail, budgets
+                )
             wave = sel.wave
             n_wave = sel.n_wave
             totals["requests_dropped"] += sel.robots_dropped
@@ -526,18 +544,76 @@ class CrawlEngine:
                     metrics_df = epoch_row
                 store.append_epoch(metrics_df, "metrics", epoch)
 
+            def _commit_budgets():
+                """A8 adaptive feedback: per-host error rates drive the next
+                epoch's budgets (AdaptiveSemaphore thresholds, reference
+                src/concurrency.rs:87-134: halve >10% errors, double <1%).
+                Status-based and deterministic so the simulator mirrors it."""
+                sent_h = to_fetch.groupBy("host").agg(F.count("*").alias("n_sent"))
+                resp_h = rs.groupBy("host").agg(
+                    F.count("*").alias("n_resp"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("status") > cfg.success_max_status, 1
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias("n_err"),
+                )
+                stats_h = sent_h.join(resp_h, "host", "left").select(
+                    "host",
+                    "n_sent",
+                    (
+                        (F.col("n_sent") - F.coalesce(F.col("n_resp"), F.lit(0)))
+                        + F.coalesce(F.col("n_err"), F.lit(0))
+                    ).alias("errors"),
+                )
+                prev = (
+                    budgets
+                    if budgets is not None
+                    else spark.createDataFrame([], "host string, budget int")
+                )
+                cur = F.coalesce(F.col("budget"), F.lit(cfg.adaptive_start_budget))
+                rate = F.col("errors") / F.col("n_sent")
+                updated = stats_h.join(prev, "host", "left").select(
+                    "host",
+                    F.when(
+                        rate > cfg.adaptive_error_hi,
+                        F.greatest(F.floor(cur / 2), F.lit(1)),
+                    )
+                    .when(
+                        rate < cfg.adaptive_error_lo,
+                        F.least(cur * 2, F.lit(cfg.default_host_budget)),
+                    )
+                    .otherwise(cur)
+                    .cast("int")
+                    .alias("budget"),
+                )
+                untouched = prev.join(stats_h.select("host"), "host", "left_anti")
+                out = untouched.unionByName(updated)
+                out.write.mode("overwrite").parquet(_budgets_dir(epoch))
+                return spark.read.schema("host string, budget int").parquet(
+                    _budgets_dir(epoch)
+                )
+
             # ---- commit phase: frontier snapshot, seen delta + Bloom
-            # delta, order log and (non-detail) metrics are independent
-            # outputs — run them as CONCURRENT Spark jobs so their
-            # latencies overlap instead of adding up
+            # delta, order log, adaptive budgets and (non-detail) metrics
+            # are independent outputs — run them as CONCURRENT Spark jobs
+            # so their latencies overlap instead of adding up
             with _T("commit_parallel"):
                 f_frontier = pool.submit(_commit_frontier)
                 f_seen = pool.submit(_commit_seen)
                 f_order = pool.submit(_commit_order)
+                f_budgets = (
+                    pool.submit(_commit_budgets) if cfg.adaptive_budget else None
+                )
                 f_metrics = None if detail else pool.submit(_commit_metrics, 0)
                 frontier = f_frontier.result()
                 delta = f_seen.result()
                 f_order.result()
+                if f_budgets is not None:
+                    budgets = f_budgets.result()
                 if f_metrics is not None:
                     f_metrics.result()
             if cfg.use_bloom and delta is not None:
