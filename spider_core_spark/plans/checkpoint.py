@@ -44,6 +44,9 @@ class CheckpointStore:
     def seen_dir(self, epoch: int) -> str:
         return os.path.join(self.workdir, "seen", f"epoch={epoch}")
 
+    def seen_compact_dir(self, epoch: int) -> str:
+        return os.path.join(self.workdir, "seen_compact", f"epoch={epoch}")
+
     def epoch_dir(self, kind: str, epoch: int) -> str:
         return os.path.join(self.workdir, kind, f"epoch={epoch}")
 
@@ -76,14 +79,33 @@ class CheckpointStore:
         new_seen.write.mode("overwrite").parquet(self.seen_dir(epoch))
 
     def read_seen(self, up_to_epoch: int) -> DataFrame:
-        dirs = [
+        """Latest compacted snapshot ≤ up_to_epoch plus the per-epoch deltas
+        after it — keeps the read O(epochs since compaction) instead of
+        O(all epochs) (a 10^3-epoch crawl would otherwise union 10^3
+        directories every epoch)."""
+        base = -1
+        for e in range(up_to_epoch, -1, -1):
+            if os.path.exists(self.seen_compact_dir(e)):
+                base = e
+                break
+        dirs = [self.seen_compact_dir(base)] if base >= 0 else []
+        dirs += [
             self.seen_dir(e)
-            for e in range(up_to_epoch + 1)
+            for e in range(base + 1, up_to_epoch + 1)
             if os.path.exists(self.seen_dir(e))
         ]
         if not dirs:
             return self.spark.createDataFrame([], schemas.SEEN)
         return self.spark.read.schema(schemas.SEEN).parquet(*dirs)
+
+    def compact_seen(self, up_to_epoch: int) -> None:
+        """Merge snapshot+deltas into one snapshot dir (the Iceberg-compact
+        analog). Old deltas are left in place — resume never needs them
+        again but removing history is a caller decision."""
+        df = self.read_seen(up_to_epoch)
+        tmp = self.seen_compact_dir(up_to_epoch) + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, self.seen_compact_dir(up_to_epoch))
 
     def append_epoch(self, df: DataFrame, kind: str, epoch: int) -> None:
         df.write.mode("overwrite").parquet(self.epoch_dir(kind, epoch))

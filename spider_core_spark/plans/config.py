@@ -41,6 +41,9 @@ class CrawlConfig:
     # checkpointing (reference periodic checkpoint task,
     # src/crawler/core.rs:212-258): snapshot every k epochs; final always
     checkpoint_every: int = 1
+    # compact the append-only seen deltas into one snapshot every k epochs
+    # (0 = never); keeps read_seen O(k) directories on long crawls
+    compact_seen_every: int = 0
     workdir: str = "/tmp/spider_core_spark_run"
 
     # skew: salt partitions on hot hosts before UDF-heavy stages

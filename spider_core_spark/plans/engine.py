@@ -619,6 +619,11 @@ class CrawlEngine:
             if cfg.use_bloom and delta is not None:
                 blooms = dedup_ops.merge_bloom_shards(blooms or {}, delta)
             n_seen += n_ok
+            if (
+                cfg.compact_seen_every
+                and (epoch + 1) % cfg.compact_seen_every == 0
+            ):
+                store.compact_seen(epoch)
 
             n_leftover = sel.leftover.count() if detail else 0
             n_frontier = frontier.count() if detail else 0  # parquet count

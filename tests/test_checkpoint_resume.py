@@ -67,3 +67,28 @@ def test_salvaged_rows_are_selected(spark, site, tmp_path_factory):
     sel = select_wave(frontier, None, epoch=0, cfg=CrawlConfig(use_robots=False))
     urls = {r["url"] for r in sel.wave.collect()}
     assert urls == {"https://x.test/a", "https://x.test/b"}
+
+
+def test_seen_compaction_preserves_state(spark, site, tmp_path_factory):
+    """compact_seen_every merges delta dirs; final seen/items/order are
+    unchanged and resume still works across a compaction boundary."""
+    wd_plain = str(tmp_path_factory.mktemp("plain"))
+    wd_comp = str(tmp_path_factory.mktemp("comp"))
+    pages_df, seeds = site
+
+    def run(wd, max_epochs, resume=False, compact=0):
+        cfg = CrawlConfig(
+            workdir=wd, max_epochs=max_epochs, max_wave_size=40,
+            default_host_budget=10**9, use_robots=False, n_shards=4,
+            compact_seen_every=compact,
+        )
+        return CrawlEngine(spark, Spider(start_urls=seeds), cfg).run(
+            pages_df, resume=resume
+        )
+
+    full = run(wd_plain, 12)
+    run(wd_comp, 5, compact=2)  # kill after a compaction happened
+    resumed = run(wd_comp, 12, resume=True, compact=2)
+    assert _snapshot(full) == _snapshot(resumed)
+    import os
+    assert os.path.exists(os.path.join(wd_comp, "seen_compact"))
