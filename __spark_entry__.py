@@ -77,12 +77,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ta.quality_score,
         "text_tokens": ta.token_counts,
         "text_fingerprint": ta.doc_fingerprint,
-        # multimodal plumbing (rows-only: mapInPandas, no SQL analog)
-        "mm_features": lambda spark, sf: tm.extract_features(
-            tm.synth_media_df(spark, 64)
+        # multimodal plumbing: mapInPandas stages over a deterministic
+        # synthetic media table; checked outputs are exact ints/strings so
+        # the DuckDB oracle (range()-generated, no external data) matches
+        "mm_features": lambda spark, sf: tm.features_checked(
+            tm.synth_media_df(spark)
         ),
         "mm_frame_sample": lambda spark, sf: tm.sample_frames(
-            tm.synth_media_df(spark, 64)
+            tm.synth_media_df(spark)
         ),
     }
     return q
@@ -116,5 +118,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ta.quality_score_sql(),
         "text_tokens": ta.TOKEN_COUNTS_SQL,
         "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
-        # mm_features / mm_frame_sample: rows-only (mapInPandas stages)
+        "mm_features": tm.features_sql(),
+        "mm_frame_sample": tm.frames_sql(),
     }
