@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
         "a6_sliding_rate": dq.a6_sliding_rate,
+        "a6_ema": dq.a6_ema,
+        "a7_pipeline_timing": dq.a7_pipeline_timing,
         "a8_perhost_feedback": dq.a8_perhost_feedback,
         # training-data ops: dedup suite
         "dedup_exact": td.exact_dedup,
@@ -105,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
         "a6_sliding_rate": dq.A6_SQL,
+        "a6_ema": dq.A6_EMA_SQL,
+        "a7_pipeline_timing": dq.A7_SQL,
         "a8_perhost_feedback": dq.A8_SQL,
         "dedup_exact": td.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": td.minhash_bands_sql(),

@@ -65,6 +65,13 @@ def main() -> None:
         res = CrawlEngine(spark, spider, cfg).run(
             pages, robots=robots, resume=args.resume, seeds_df=seeds_df
         )
+        # SNK3: print the stats report at crawl end (reference
+        # src/crawler/core.rs:364-366) and persist both export formats
+        print(res.report_display())
+        with open(f"{args.workdir}/report.json", "w") as f:
+            f.write(res.report_json())
+        with open(f"{args.workdir}/report.md", "w") as f:
+            f.write(res.report_markdown())
         print(
             json.dumps(
                 {

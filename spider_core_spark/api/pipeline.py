@@ -19,6 +19,8 @@ items_dropped / per-pipeline timing metrics (item_processor.rs:32,80-124).
 from __future__ import annotations
 
 import json
+import os
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -71,17 +73,46 @@ class FieldFilterPipeline(Pipeline):
 
 
 class DedupeItemsPipeline(Pipeline):
-    """Drop items whose key was already emitted in ANY earlier epoch —
-    stateful across epochs via a running key count (checkpointed)."""
+    """Drop items whose key was already emitted in ANY earlier epoch.
+
+    Cross-epoch state = a keys table under ``state_dir`` (per-epoch parquet
+    deltas, anti-joined each epoch and appended after) — distributed, never
+    driver memory. Without a ``state_dir`` only within-epoch duplicates are
+    dropped (stateless mode). ``seen_count`` is checkpointed so a resumed
+    run reports consistent totals (reference get_state/restore_state,
+    src/checkpoint.rs:111-115)."""
 
     name = "dedupe_items"
 
-    def __init__(self, key: str = "url"):
+    def __init__(self, key: str = "url", state_dir: str | None = None):
         self.key = key
+        self.state_dir = state_dir
         self.seen_count = 0
+
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.state_dir, f"epoch={epoch}")
+
+    def _prior_dirs(self, epoch: int) -> list[str]:
+        if self.state_dir is None or not os.path.exists(self.state_dir):
+            return []
+        out = []
+        for d in os.listdir(self.state_dir):
+            if d.startswith("epoch=") and int(d.split("=")[1]) < epoch:
+                out.append(os.path.join(self.state_dir, d))
+        return sorted(out)
 
     def process(self, items, epoch):
         out = items.dropDuplicates([self.key])
+        prior = self._prior_dirs(epoch)
+        if prior:
+            spark = items.sparkSession
+            seen_keys = spark.read.schema(f"{self.key} string").parquet(*prior)
+            out = out.join(seen_keys, self.key, "left_anti")
+        if self.state_dir is not None:
+            out = out.persist()
+            new_keys = out.select(F.col(self.key).cast("string"))
+            new_keys.write.mode("overwrite").parquet(self._epoch_dir(epoch))
+            self.seen_count += out.count()
         return out
 
     def get_state(self):
@@ -129,19 +160,46 @@ class ParquetWriterPipeline(Pipeline):
 
 
 def run_pipelines(
-    items: DataFrame, pipelines: list[Pipeline], epoch: int
-) -> tuple[DataFrame, int]:
-    """Apply pipelines in order; returns (survivors, items_dropped)."""
+    items: DataFrame,
+    pipelines: list[Pipeline],
+    epoch: int,
+    per_pipeline: bool = False,
+) -> tuple[DataFrame, int, list[dict]]:
+    """Apply pipelines in order; returns (survivors, items_dropped, stats).
+
+    ``per_pipeline=True`` = the A7 mode (reference item_processor.rs:32,
+    80-124 tracks (total_time, count) per pipeline name): each pipeline's
+    output is counted separately, so stats carries one
+    {pipeline, ms, n_in, n_out} row per pipeline at the cost of one count
+    job each. Default mode keeps the single lumped count (cheap path)."""
     if not pipelines:
-        return items, 0
+        return items, 0, []
     items = items.persist()
     n_in = items.count()
     out = items
+    stats: list[dict] = []
+    if per_pipeline:
+        prev_n = n_in
+        for p in pipelines:
+            t0 = time.perf_counter()
+            out = p.process(out, epoch).persist()
+            n_out = out.count()
+            stats.append(
+                {
+                    "pipeline": p.name,
+                    "ms": (time.perf_counter() - t0) * 1000.0,
+                    "n_in": prev_n,
+                    "n_out": n_out,
+                }
+            )
+            prev_n = n_out
+        dropped = n_in - prev_n
+        return out, dropped, stats
     for p in pipelines:
         out = p.process(out, epoch)
     out = out.persist()
     dropped = n_in - out.count()
-    return out, dropped
+    return out, dropped, stats
 
 
 def agg_null_safe(col: str):

@@ -11,6 +11,8 @@ Arrow-batched pandas UDF over (url, html) producing a struct
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,11 +48,39 @@ def default_parse_frame(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def make_parse_udf(parse_frame=default_parse_frame, schema: StructType | None = None):
+    """Parse UDF with real A3/A4 timing (reference src/stats.rs:378-463
+    tracks per-URL fetch/parse durations). In the join-fetch world a per-URL
+    fetch wall doesn't exist, so the measured analogs are:
+
+    - ``fetch_ms``: time the upstream pipeline (pages scan + broadcast
+      join + Arrow transfer) took to FEED each batch — the gap between
+      finishing the previous batch and receiving the next one inside the
+      iterator (first batch: since the task's iterator was opened);
+    - ``parse_ms``: UDF compute time for the batch;
+
+    both divided evenly across the batch's rows. Real measurements riding
+    the existing fused pass — the iterator UDF form exists exactly so the
+    feed gap is observable (a scalar pandas UDF sees only its own batch;
+    PySpark forks a fresh worker per task, so cross-batch module state
+    doesn't survive)."""
     schema = schema or schemas.PARSED
 
     @F.pandas_udf(schema)
-    def parse_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-        return parse_frame(pd.DataFrame({"url": url, "html": html}))
+    def parse_udf(
+        batches: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        import time
+
+        t_prev = time.perf_counter()
+        for url, html in batches:
+            t_in = time.perf_counter()
+            out = parse_frame(pd.DataFrame({"url": url, "html": html}))
+            t_out = time.perf_counter()
+            n = max(len(out), 1)
+            out["fetch_ms"] = (t_in - t_prev) * 1000.0 / n
+            out["parse_ms"] = (t_out - t_in) * 1000.0 / n
+            t_prev = t_out
+            yield out
 
     return parse_udf
 

@@ -283,6 +283,83 @@ FROM events
 """
 
 
+# --- A6b: true EMA recent rate (reference src/stats.rs:54-95, α=0.2) ---------
+# ema_0 = x_0; ema_t = α·x_t + (1-α)·ema_{t-1}. With α = 1/5 the closed form
+# is exactly E_t / 5^t where E_t = 4^t·x_0 + Σ_{k=1..t} 4^(t-k)·5^(k-1)·x_k —
+# an INTEGER when x is in integer cents. Both engines accumulate E_t as
+# exact int64 (series capped at 15 days so 5^14·Σx stays < 2^63 and every
+# power is < 2^53, i.e. exact in double), then do the identical double
+# division, so the value hash matches bit-for-bit.
+EMA_DAYS_CUTOFF = "2024-01-16 00:00:00"
+
+
+def a6_ema(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(EMA_DAYS_CUTOFF).cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(cents).alias("x")
+    )
+    # ≤15 rows: a single-partition window is the right plan here
+    daily = daily.withColumn(
+        "t", (F.row_number().over(Window.orderBy("day")) - 1).cast("int")
+    )
+    l = daily.select("t", "day")
+    r = daily.select(F.col("t").alias("k"), "x")
+    weight = F.when(F.col("k") == 0, F.pow(F.lit(4.0), F.col("t"))).otherwise(
+        F.pow(F.lit(4.0), F.col("t") - F.col("k"))
+        * F.pow(F.lit(5.0), F.col("k") - 1)
+    )
+    pairs = l.join(r, F.col("k") <= F.col("t"))
+    out = pairs.groupBy("t", "day").agg(
+        F.sum(weight.cast("long") * F.col("x")).alias("E")
+    )
+    ema = F.round(
+        F.col("E") / F.pow(F.lit(5.0), F.col("t")) / F.lit(100.0), 6
+    )
+    return out.select("t", "day", ema.alias("ema_value"))
+
+
+A6_EMA_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         sum(round(value * 100)::BIGINT) AS x
+  FROM events WHERE ts < TIMESTAMP '{EMA_DAYS_CUTOFF}' GROUP BY 1
+), idx AS (
+  SELECT day, x, (row_number() OVER (ORDER BY day) - 1)::INT AS t FROM daily
+), terms AS (
+  SELECT l.t, l.day,
+         CASE WHEN r.t = 0 THEN power(4, l.t)::BIGINT
+              ELSE (power(4, l.t - r.t) * power(5, r.t - 1))::BIGINT
+         END * r.x AS term
+  FROM idx l JOIN idx r ON r.t <= l.t
+)
+SELECT t, day, round(sum(term) / power(5, t) / 100.0, 6) AS ema_value
+FROM terms GROUP BY t, day
+"""
+
+
+# --- A7: per-pipeline timing/count aggregate ---------------------------------
+# shape of item_processor.rs:32,80-124's per-pipeline (total_time, count)
+# map: one group per pipeline name (event_type here), exact integer-cent sum
+def a7_pipeline_timing(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy(F.col("event_type").alias("pipeline")).agg(
+        (F.sum(cents) / 100.0).alias("total_ms"),
+        F.count("*").alias("n_items"),
+    )
+
+
+A7_SQL = """
+SELECT event_type AS pipeline,
+       sum(round(value * 100)::BIGINT) / 100.0 AS total_ms,
+       count(*) AS n_items
+FROM events GROUP BY 1
+"""
+
+
 # --- A8: per-host adaptive feedback aggregate --------------------------------
 def a8_perhost_feedback(spark, sf_dir):
     e = _t(spark, sf_dir, "events")

@@ -52,6 +52,7 @@ class CrawlResult:
     totals: dict
     wall_s: float
     store: CheckpointStore = None
+    pipeline_stats: dict = field(default_factory=dict)
 
     def items(self) -> DataFrame | None:
         return self.store.read_all("items", schemas.ITEMS)
@@ -59,11 +60,86 @@ class CrawlResult:
     def metrics(self) -> DataFrame | None:
         return self.store.read_all("metrics", schemas.METRICS)
 
+    def status_counts(self) -> DataFrame | None:
+        return self.store.read_all("status", schemas.STATUS_COUNTS)
+
     def order(self) -> DataFrame | None:
         return self.store.read_all("order")
 
     def seen(self) -> DataFrame:
         return self.store.read_seen(self.epochs_run + 10)
+
+    # ---- SNK3 stats report (reference src/stats.rs:470-585, printed at
+    # crawl end src/crawler/core.rs:364-366)
+    def snapshot(self) -> dict:
+        from spider_core_spark.plans import report as rpt
+
+        status: dict[int, int] = {}
+        sdf = self.status_counts()
+        if sdf is not None:
+            for r in sdf.groupBy("status").agg(F.sum("n").alias("n")).collect():
+                if r["status"] is not None:
+                    status[int(r["status"])] = int(r["n"])
+
+        timing: dict = {}
+        epoch_rates: dict[str, list[float]] = {}
+        mdf = self.metrics()
+        if mdf is not None:
+            rows = (
+                mdf.filter(F.col("partition_id").isNull())
+                .orderBy("epoch")
+                .collect()
+            )
+            if rows:
+                n_resp = sum(r["responses_received"] or 0 for r in rows)
+
+                def _t(prefix: str) -> dict:
+                    mins = [r[f"{prefix}_ms_min"] for r in rows
+                            if r[f"{prefix}_ms_min"] is not None]
+                    maxs = [r[f"{prefix}_ms_max"] for r in rows
+                            if r[f"{prefix}_ms_max"] is not None]
+                    wsum = sum(
+                        (r[f"{prefix}_ms_avg"] or 0.0)
+                        * (r["responses_received"] or 0)
+                        for r in rows
+                    )
+                    return {
+                        "avg": wsum / n_resp if n_resp else None,
+                        "min": min(mins) if mins else None,
+                        "max": max(maxs) if maxs else None,
+                        "count": n_resp,
+                    }
+
+                timing = {"fetch": _t("fetch"), "parse": _t("parse")}
+                for key in ("requests_sent", "responses_received",
+                            "items_scraped"):
+                    epoch_rates[key] = [
+                        (r[key] or 0) / max((r["wall_ms"] or 0) / 1000.0, 1e-9)
+                        for r in rows
+                    ]
+        return rpt.build_snapshot(
+            self.totals,
+            self.wall_s,
+            status_counts=status,
+            timing=timing,
+            epoch_rates=epoch_rates,
+            pipeline_stats=self.pipeline_stats,
+        )
+
+    def report_json(self) -> str:
+        from spider_core_spark.plans import report as rpt
+
+        return rpt.to_json(self.snapshot())
+
+    def report_markdown(self) -> str:
+        from spider_core_spark.plans import report as rpt
+
+        return rpt.to_markdown(self.snapshot())
+
+    def report_display(self) -> str:
+        from spider_core_spark.plans import report as rpt
+
+        return rpt.to_display(self.snapshot())
 
 
 @dataclass
@@ -185,6 +261,7 @@ class CrawlEngine:
             "urls_deduped": 0,
         }
 
+        pipeline_totals: dict[str, dict] = {}
         manifest = store.read_manifest() if resume else None
         if manifest is not None:
             epoch0 = manifest["last_epoch"] + 1
@@ -192,6 +269,7 @@ class CrawlEngine:
                 store.frontier_dir(manifest["last_epoch"])
             )
             totals.update(manifest.get("totals", {}))
+            pipeline_totals.update(manifest.get("pipeline_totals", {}))
             for p in self.pipelines:
                 st = manifest.get("pipeline_states", {}).get(p.name)
                 if st is not None:
@@ -362,6 +440,14 @@ class CrawlEngine:
                     ),
                     F.lit(0),
                 ).alias("ok"),
+                # A3/A4 real per-URL timing (measured inside the parse UDF;
+                # reference src/stats.rs:378-463)
+                F.avg("parsed.fetch_ms").alias("fetch_ms_avg"),
+                F.min("parsed.fetch_ms").alias("fetch_ms_min"),
+                F.max("parsed.fetch_ms").alias("fetch_ms_max"),
+                F.avg("parsed.parse_ms").alias("parse_ms_avg"),
+                F.min("parsed.parse_ms").alias("parse_ms_min"),
+                F.max("parsed.parse_ms").alias("parse_ms_max"),
             )
             with _T("fetch_agg"):
                 st = st_q.collect()[0]
@@ -370,8 +456,18 @@ class CrawlEngine:
 
             items = self.spider.build_items(ok, epoch)
             if self.pipelines:
-                items_out, items_dropped = run_pipelines(items, self.pipelines, epoch)
+                items_out, items_dropped, pstats = run_pipelines(
+                    items, self.pipelines, epoch, per_pipeline=detail
+                )
                 n_items = items_out.count()
+                # A7: per-pipeline (total_time, count) accumulation
+                # (reference item_processor.rs:32,80-124)
+                for pst in pstats:
+                    agg = pipeline_totals.setdefault(
+                        pst["pipeline"], {"total_ms": 0.0, "items": 0}
+                    )
+                    agg["total_ms"] += pst["ms"]
+                    agg["items"] += pst["n_in"]
             else:
                 items_out, items_dropped, n_items = items, 0, n_ok
             with _T("parse_items_write"):
@@ -485,6 +581,20 @@ class CrawlEngine:
             totals["items_processed"] += n_items
             totals["items_dropped"] += items_dropped
 
+            def _f(v):
+                return float(v) if v is not None else None
+
+            def _commit_status() -> None:
+                # A2 engine-side: per-epoch HTTP status histogram feeding
+                # the report's Status Codes section (src/stats.rs:349-351)
+                store.append_epoch(
+                    rs.groupBy(F.col("status").cast("int").alias("status"))
+                    .agg(F.count("*").alias("n"))
+                    .withColumn("epoch", F.lit(epoch).cast("int")),
+                    "status",
+                    epoch,
+                )
+
             def _commit_metrics(n_enq_val: int) -> None:
                 epoch_row = spark.createDataFrame(
                     [
@@ -503,8 +613,12 @@ class CrawlEngine:
                             "items_scraped": n_ok,
                             "items_processed": n_items,
                             "items_dropped": items_dropped,
-                            "fetch_ms_avg": None,
-                            "parse_ms_avg": parse_ms / max(n_ok, 1),
+                            "fetch_ms_avg": _f(st["fetch_ms_avg"]),
+                            "fetch_ms_min": _f(st["fetch_ms_min"]),
+                            "fetch_ms_max": _f(st["fetch_ms_max"]),
+                            "parse_ms_avg": _f(st["parse_ms_avg"]),
+                            "parse_ms_min": _f(st["parse_ms_min"]),
+                            "parse_ms_max": _f(st["parse_ms_max"]),
                             "wall_ms": wall_ms,
                         }
                     ],
@@ -605,6 +719,7 @@ class CrawlEngine:
                 f_frontier = pool.submit(_commit_frontier)
                 f_seen = pool.submit(_commit_seen)
                 f_order = pool.submit(_commit_order)
+                f_status = pool.submit(_commit_status)
                 f_budgets = (
                     pool.submit(_commit_budgets) if cfg.adaptive_budget else None
                 )
@@ -612,6 +727,7 @@ class CrawlEngine:
                 frontier = f_frontier.result()
                 delta = f_seen.result()
                 f_order.result()
+                f_status.result()
                 if f_budgets is not None:
                     budgets = f_budgets.result()
                 if f_metrics is not None:
@@ -640,6 +756,7 @@ class CrawlEngine:
                     {
                         "last_epoch": epoch,
                         "totals": totals,
+                        "pipeline_totals": pipeline_totals,
                         "pipeline_states": {
                             p.name: p.get_state()
                             for p in self.pipelines
@@ -669,5 +786,6 @@ class CrawlEngine:
             totals=totals,
             wall_s=wall,
             store=store,
+            pipeline_stats=pipeline_totals,
         )
         return res

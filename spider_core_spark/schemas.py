@@ -103,9 +103,27 @@ METRICS = T.StructType(
         T.StructField("items_scraped", T.LongType(), True),
         T.StructField("items_processed", T.LongType(), True),
         T.StructField("items_dropped", T.LongType(), True),
+        # real per-URL timing stats (reference src/stats.rs:378-463): fetch =
+        # measured upstream feed gap per Arrow batch, parse = UDF compute
+        # time per batch, both divided across the batch's rows (see
+        # operators/parse.py); min/max/avg aggregated per epoch
         T.StructField("fetch_ms_avg", T.DoubleType(), True),
+        T.StructField("fetch_ms_min", T.DoubleType(), True),
+        T.StructField("fetch_ms_max", T.DoubleType(), True),
         T.StructField("parse_ms_avg", T.DoubleType(), True),
+        T.StructField("parse_ms_min", T.DoubleType(), True),
+        T.StructField("parse_ms_max", T.DoubleType(), True),
         T.StructField("wall_ms", T.LongType(), True),
+    ]
+)
+
+# Per-epoch HTTP status histogram (reference response_status_counts,
+# src/stats.rs:209,349-351) — feeds the A2 report section.
+STATUS_COUNTS = T.StructType(
+    [
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
     ]
 )
 
@@ -117,5 +135,9 @@ PARSED = T.StructType(
         T.StructField("title", T.StringType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("links", T.ArrayType(T.StringType()), True),
+        # measured inside the UDF (operators/parse.py): per-row share of the
+        # batch's upstream feed gap ("fetch") and UDF compute time ("parse")
+        T.StructField("fetch_ms", T.DoubleType(), True),
+        T.StructField("parse_ms", T.DoubleType(), True),
     ]
 )

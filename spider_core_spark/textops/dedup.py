@@ -66,9 +66,15 @@ FROM documents GROUP BY 1
 """
 
 # ---------------------------------------------------------------- minhash
+# K=8 minhash functions from TWO sha256 calls per shingle: each digest's 64
+# hex chars yield four independent 60-bit words (15 hex chars each). The
+# naive one-sha-per-hash scheme costs 8 digests per shingle — at 100 TB the
+# signature pass is sha-bound, so this is a 4× cut with identical LSH
+# properties (disjoint substrings of a cryptographic digest are independent).
 K_HASHES = 8
 N_BANDS = 4  # rows per band r = K_HASHES / N_BANDS = 2
 SHINGLE = 3
+_SHAS_PER_SHINGLE = 2  # ceil(K_HASHES / 4 words per digest)
 
 
 def _shingles_spark() -> str:
@@ -87,27 +93,46 @@ def _shingles_duck() -> str:
     )
 
 
-def minhash_signature_exprs_spark() -> list[str]:
-    sh = _shingles_spark()
+def _shas_spark() -> str:
+    """Per-shingle concat of the 2 seeded digests (128 hex chars) — computed
+    ONCE per shingle; the 8 signature mins below are substring slices of it."""
+    shas = " , ".join(
+        f"sha2(concat('{s}:', x), 256)" for s in range(_SHAS_PER_SHINGLE)
+    )
+    return f"transform({_shingles_spark()}, x -> concat({shas}))"
+
+
+def _shas_duck() -> str:
+    shas = " || ".join(f"sha256('{s}:' || x)" for s in range(_SHAS_PER_SHINGLE))
+    return f"list_transform({_shingles_duck()}, x -> {shas})"
+
+
+def minhash_sig_exprs_spark(shas_col: str) -> list[str]:
     return [
-        f"array_min(transform({sh}, x -> {_h64_spark('x', s)})) "
-        for s in range(K_HASHES)
+        f"array_min(transform({shas_col}, s -> "
+        f"cast(conv(substring(s, {1 + 15 * i}, {H}), 16, 10) as long)))"
+        for i in range(K_HASHES)
     ]
 
 
-def minhash_signature_exprs_duck() -> list[str]:
-    sh = _shingles_duck()
+def minhash_sig_exprs_duck(shas_col: str) -> list[str]:
     return [
-        f"list_min(list_transform({sh}, x -> {h64_duckdb('x', seed=s)}))"
-        for s in range(K_HASHES)
+        f"list_min(list_transform({shas_col}, s -> "
+        f"('0x' || substring(s, {1 + 15 * i}, {H}))::BIGINT))"
+        for i in range(K_HASHES)
     ]
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc LSH band hashes: band_j = h64(concat of r signature mins).
-    Flat int64 columns so the oracle comparison is exact."""
-    d = _docs(spark, sf_dir)
-    sigs = minhash_signature_exprs_spark()
+    Flat int64 columns so the oracle comparison is exact. The expensive
+    sha pass lives in the `_shas` projection, evaluated once per row —
+    Catalyst keeps the two Projects separate (CollapseProject refuses to
+    duplicate non-cheap aliases used more than once)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_shas_spark()).alias("_shas")
+    )
+    sigs = minhash_sig_exprs_spark("_shas")
     r = K_HASHES // N_BANDS
     cols = [F.col("doc_id")]
     for b in range(N_BANDS):
@@ -119,36 +144,59 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_bands_sql() -> str:
-    sigs = minhash_signature_exprs_duck()
+    sigs = minhash_sig_exprs_duck("_shas")
     r = K_HASHES // N_BANDS
     sel = ["doc_id"]
     for b in range(N_BANDS):
         parts = sigs[b * r: (b + 1) * r]
         concat = " , '|', ".join(f"cast({p} as varchar)" for p in parts)
         sel.append(f"{h64_duckdb(f'concat({concat})', seed=100 + b)} AS band{b}")
-    return "SELECT " + ", ".join(sel) + " FROM documents"
+    return (
+        "SELECT " + ", ".join(sel)
+        + f" FROM (SELECT doc_id, {_shas_duck()} AS _shas FROM documents)"
+    )
+
+
+def minhash_bands_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_hash) long form: signatures computed ONCE,
+    persisted, self-joined once on (band_idx, band_hash) — the scale shape
+    for candidate generation (one equi-join, band_idx+hash as the shuffle
+    key, never an all-pairs product)."""
+    wide = minhash_bands(spark, sf_dir)
+    arr = F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+    return wide.select(
+        "doc_id", F.posexplode(arr).alias("band_idx", "band_hash")
+    )
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
-    bands = minhash_bands(spark, sf_dir)
-    pairs = None
-    for b in range(N_BANDS):
-        l = bands.select(F.col("doc_id").alias("a"), F.col(f"band{b}").alias("bk"))
-        r_ = bands.select(F.col("doc_id").alias("b"), F.col(f"band{b}").alias("bk"))
-        p = l.join(r_, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    """Candidate near-dup pairs: docs sharing any LSH band bucket. One
+    self-join of the persisted long form (signature pass paid once), not
+    one join per band."""
+    long = minhash_bands_long(spark, sf_dir).persist()
+    l = long.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
+    r_ = long.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
+    return (
+        l.join(r_, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def minhash_pairs_sql() -> str:
     base = minhash_bands_sql()
-    unions = " UNION ALL ".join(
-        f"SELECT l.doc_id AS a, r.doc_id AS b FROM bands l JOIN bands r "
-        f"ON l.band{b} = r.band{b} AND l.doc_id < r.doc_id"
+    long_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands"
         for b in range(N_BANDS)
     )
-    return f"WITH bands AS ({base}) SELECT DISTINCT a, b FROM ({unions})"
+    return f"""
+WITH bands AS ({base}),
+long AS ({long_union})
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM long l JOIN long r USING (band_idx, band_hash)
+WHERE l.doc_id < r.doc_id
+"""
 
 
 # ---------------------------------------------------------------- simhash
@@ -203,46 +251,71 @@ LEN_BUCKET = 100
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise Jaccard over 3-word shingle sets: candidates share
-    (lang, n_chars bucket); |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold."""
+    (lang, n_chars bucket); |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Scale design (output-preserving — every guard is implied by J ≥ 0.3,
+    so the result set is EXACTLY the unguarded one):
+    - shingles are HASHED to int64 (h64, both engines) before the pair
+      join — set intersection compares 8-byte words, not strings, and the
+      shuffled pair rows carry long arrays instead of string arrays;
+    - length-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
+      10·min < 3·max can't reach 0.3 — exact integer test on precomputed
+      set sizes BEFORE the intersect;
+    - the hashed-shingle pass is persisted (paid once, not per join side)
+      and the intersect is a staged column (evaluated once, not re-derived
+      by the threshold filter);
+    - the bucket key uses explicit floor division (identical in both
+      engines). The blocking join stays (lang, len-bucket) keyed."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
-        F.array_distinct(F.expr(_shingles_spark())).alias("sh"),
-    )
+        F.floor(F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
+        F.array_distinct(
+            F.expr(
+                f"transform({_shingles_spark()}, x -> {_h64_spark('x', 7)})"
+            )
+        ).alias("sh"),
+    ).withColumn("nsh", F.size("sh")).persist()
     l = d.select(
-        F.col("doc_id").alias("a"), "lang", "lb", F.col("sh").alias("sha")
+        F.col("doc_id").alias("a"), "lang", "lb",
+        F.col("sh").alias("sha"), F.col("nsh").alias("na"),
     )
     r = d.select(
-        F.col("doc_id").alias("b"), "lang", "lb", F.col("sh").alias("shb")
+        F.col("doc_id").alias("b"), "lang", "lb",
+        F.col("sh").alias("shb"), F.col("nsh").alias("nb"),
     )
-    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
-    uni = F.size("sha") + F.size("shb") - inter
-    jac = inter / uni
+    # J >= 0.3 ⇒ min/max >= 0.3 ⇔ 10·min >= 3·max (exact integer test)
+    ratio_ok = F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 3
     return (
         l.join(r, ["lang", "lb"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("jaccard", F.round(jac, 4))
+        .filter((F.col("a") < F.col("b")) & ratio_ok)
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b", "jaccard")
     )
 
 
 def ngram_jaccard_sql() -> str:
-    sh = _shingles_duck()
+    hsh = h64_duckdb("x", seed=7)
     return f"""
 WITH d AS (
-  SELECT doc_id, lang, (n_chars / {LEN_BUCKET})::INT AS lb,
-         list_distinct({sh}) AS sh
+  SELECT doc_id, lang, (n_chars // {LEN_BUCKET})::INT AS lb,
+         list_distinct(list_transform({_shingles_duck()}, x -> {hsh})) AS sh
   FROM documents
+), s AS (SELECT *, len(sh) AS nsh FROM d)
+SELECT a, b, jaccard FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+               (l.nsh + r.nsh - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
+  FROM s l JOIN s r
+    ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
+   AND least(l.nsh, r.nsh) * 10 >= greatest(l.nsh, r.nsh) * 3
 )
-SELECT l.doc_id AS a, r.doc_id AS b,
-       round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-             (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
-FROM d l JOIN d r ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
-WHERE round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-            (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 4)
-      >= {JACCARD_THRESHOLD}
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 

@@ -90,22 +90,41 @@ def test_pipelines_drop_and_order(spark):
     items = spark.createDataFrame(
         [("u1", 5), ("u2", 50), ("u2", 50), ("u3", 500)], "url string, n int"
     )
-    out, dropped = run_pipelines(
+    out, dropped, pstats = run_pipelines(
         items,
         [FieldFilterPipeline("n >= 50"), DedupeItemsPipeline(key="url")],
         epoch=0,
+        per_pipeline=True,
     )
     rows = {r["url"] for r in out.collect()}
     assert rows == {"u2", "u3"}
     assert dropped == 2  # one filtered + one deduped
+    # A7: per-pipeline (time, count) rows in order
+    assert [p["pipeline"] for p in pstats] == ["field_filter", "dedupe_items"]
+    assert pstats[0]["n_in"] == 4 and pstats[0]["n_out"] == 3
+    assert pstats[1]["n_in"] == 3 and pstats[1]["n_out"] == 2
+    assert all(p["ms"] > 0 for p in pstats)
 
     # order matters: dedupe-then-filter keeps a different set
-    out2, _ = run_pipelines(
+    out2, _, _ = run_pipelines(
         items,
         [DedupeItemsPipeline(key="url"), FieldFilterPipeline("n >= 50")],
         epoch=0,
     )
     assert {r["url"] for r in out2.collect()} == {"u2", "u3"}
+
+
+def test_dedupe_items_cross_epoch(spark, tmp_path):
+    state = str(tmp_path / "dedupe_state")
+    p = DedupeItemsPipeline(key="url", state_dir=state)
+    e0 = spark.createDataFrame([("u1", 1), ("u2", 2)], "url string, n int")
+    out0 = p.process(e0, epoch=0)
+    assert {r["url"] for r in out0.collect()} == {"u1", "u2"}
+    # epoch 1 re-emits u2 → dropped by the cross-epoch state
+    e1 = spark.createDataFrame([("u2", 9), ("u3", 3)], "url string, n int")
+    out1 = p.process(e1, epoch=1)
+    assert {r["url"] for r in out1.collect()} == {"u3"}
+    assert p.seen_count == 3
 
 
 def test_pipeline_state_roundtrip():
