@@ -59,7 +59,7 @@ def main() -> None:
     spider = Spider(start_urls=list(args.seed_urls))
 
     if args.streaming:
-        out = StreamingCrawlEngine(spark, spider, cfg).run(pages)
+        out = StreamingCrawlEngine(spark, spider, cfg).run(pages, robots=robots)
         print(json.dumps({"mode": "streaming", "seen": out["seen"].count()}))
     else:
         res = CrawlEngine(spark, spider, cfg).run(

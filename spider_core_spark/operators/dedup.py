@@ -38,6 +38,26 @@ def shard_col(fingerprint: Column, n_shards: int) -> Column:
     return F.pmod(h64_col(fingerprint), F.lit(n_shards)).cast("int")
 
 
+def bloom_bits_for(expected_n: int, target_fpr: float, n_hashes: int) -> int:
+    """Bits per filter for `expected_n` keys at `target_fpr` with k hashes:
+    p ≈ (1 − e^(−k·n/m))^k  ⇒  m = −k·n / ln(1 − p^(1/k)).
+
+    Sizing table for the 10^10-frontier design point (k=5, per SHARD after
+    dividing expected_n by n_shards — documented in BASELINE.md): a 10^10
+    seen set at 1% FPR needs ~1.5 GB of shards total, which exceeds a
+    per-executor broadcast comfort zone → either raise n_shards and accept
+    ~12 GB at 0.1%, lean on a coarser FPR (the Bloom tier is a prefilter,
+    never correctness), or disable the tier and let the runtime bloom join
+    handle it. The engine fails loudly instead of degrading silently."""
+    import math
+
+    if not (0.0 < target_fpr < 1.0):
+        raise ValueError(f"target_fpr must be in (0,1), got {target_fpr}")
+    n = max(expected_n, 1)
+    m = -n_hashes * n / math.log(1.0 - target_fpr ** (1.0 / n_hashes))
+    return 1 << max(int(m - 1).bit_length(), 10)  # round up to a power of 2
+
+
 def bloom_positions_col(fingerprint: Column, n_bits: int, n_hashes: int) -> Column:
     """k probe positions derived from the fingerprint's own sha256 hex:
     position_i = int(hex[8i : 8i+8], 16) % n_bits. 64 hex chars give 8

@@ -42,8 +42,13 @@ from spider_core_spark.plans.config import CrawlConfig
 # (seeds use epoch -1 → base 0, seq = list position). 2^40 epochs-space
 # leaves 8M epochs; link_pos < 4096 ≥ the reference graph's out-degree cap.
 # Flat long keeps the frontier sortable by one column.
+# GUARDS (fields must not bleed into their neighbors or the total order
+# silently breaks): link_candidates slices out-links to MAX_LINKS_PER_PAGE,
+# and the engine validates max_wave_size ≤ MAX_PARENT_RANK at startup.
 SEQ_EPOCH_BASE = 1 << 40
 SEQ_PARENT_BASE = 1 << 12
+MAX_LINKS_PER_PAGE = SEQ_PARENT_BASE  # 4096
+MAX_PARENT_RANK = SEQ_EPOCH_BASE // SEQ_PARENT_BASE  # 2^28
 
 
 def seed_seq(position: int) -> int:

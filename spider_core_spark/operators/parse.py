@@ -21,6 +21,7 @@ from pyspark.sql.types import StructType
 from spider_core_spark import schemas
 from spider_core_spark.functions import url as urlfn
 from spider_core_spark.functions.textextract import extract, resolve_link
+from spider_core_spark.operators import frontier as frontier_mod
 from spider_core_spark.operators.frontier import child_seq_col
 
 
@@ -97,10 +98,16 @@ def link_candidates(parsed: DataFrame, epoch: int) -> DataFrame:
     seq = f(epoch, parent wave_rank, link position) keeps the reference's
     emission order (response_parser.rs:295-328) as a sortable column.
     """
+    # slice to the seq packing's link_pos capacity: a >4096-out-link page
+    # would otherwise bleed link_pos into the parent_rank field and corrupt
+    # the total order (links beyond the cap are dropped — the analog of the
+    # reference's bounded enqueue, and far above its graphs' out-degree)
     ex = parsed.select(
         F.col("wave_rank").alias("_parent_rank"),
         (F.col("depth") + 1).alias("depth"),
-        F.posexplode(F.col("parsed.links")).alias("_pos", "_raw_url"),
+        F.posexplode(
+            F.slice(F.col("parsed.links"), 1, frontier_mod.MAX_LINKS_PER_PAGE)
+        ).alias("_pos", "_raw_url"),
     )
     norm = urlfn.normalize_url_col(F.col("_raw_url"))
     return ex.select(

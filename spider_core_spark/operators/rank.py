@@ -39,15 +39,18 @@ def with_global_rank(
 
     # adaptive small path: below the threshold a single count + one
     # single-partition window beats the two-phase machinery (4 jobs → 2);
-    # the count is needed either way for the returned total
+    # the count is needed either way for the returned total. The ranked
+    # output is persisted LAZILY — the caller's first action materializes
+    # it (one wave materialization per epoch, not two; the input cache is
+    # released up front and its narrow lineage recomputes once into the
+    # output cache).
     df = df.persist()
     total = df.count()
     if total <= SMALL_THRESHOLD:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         out = df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
         out = out.persist()
-        out.count()
-        df.unpersist()
+        df.unpersist(blocking=False)
         return out, total
 
     ranged = df.repartitionByRange(n, *order_cols).withColumn(

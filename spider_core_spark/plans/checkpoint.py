@@ -101,11 +101,65 @@ class CheckpointStore:
     def compact_seen(self, up_to_epoch: int) -> None:
         """Merge snapshot+deltas into one snapshot dir (the Iceberg-compact
         analog). Old deltas are left in place — resume never needs them
-        again but removing history is a caller decision."""
+        again but removing history is a caller decision.
+
+        Idempotent across crash+resume: if a prior run already compacted
+        this epoch (crashed after the rename but before the manifest
+        commit), the re-run is a no-op — os.replace onto a non-empty
+        directory would raise ENOTEMPTY otherwise."""
+        final = self.seen_compact_dir(up_to_epoch)
+        if os.path.exists(final):
+            return
         df = self.read_seen(up_to_epoch)
-        tmp = self.seen_compact_dir(up_to_epoch) + ".tmp"
+        tmp = final + ".tmp"
         df.write.mode("overwrite").parquet(tmp)
-        os.replace(tmp, self.seen_compact_dir(up_to_epoch))
+        os.replace(tmp, final)
+
+    # --------------------------------------------------------- salvage (F4)
+    # reference: requests that fail to enqueue go to a salvage queue
+    # (src/scheduler.rs:75,423) merged back as pending at checkpoint restore
+    # (src/checkpoint.rs:118-123). Here: a failed frontier-snapshot commit
+    # best-effort writes the would-be frontier as state='salvaged' rows;
+    # resume unions them with the last good snapshot.
+    def salvage_dir(self, epoch: int) -> str:
+        return os.path.join(self.workdir, "salvage", f"epoch={epoch}")
+
+    def write_salvage(self, frontier_next: DataFrame, epoch: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            frontier_next.withColumn("state", F.lit("salvaged"))
+            # gate each row to the epoch it became pending in — on resume
+            # the merged rows must not be fetchable EARLIER than they would
+            # have been in the uninterrupted run (order parity)
+            .withColumn(
+                "not_before_epoch",
+                F.greatest("not_before_epoch", "epoch_added").cast("int"),
+            )
+            .write.mode("overwrite")
+            .parquet(self.salvage_dir(epoch))
+        )
+
+    def read_salvage_after(self, last_epoch: int) -> DataFrame | None:
+        base = os.path.join(self.workdir, "salvage")
+        if not os.path.exists(base):
+            return None
+        dirs = [
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if d.startswith("epoch=") and int(d.split("=")[1]) > last_epoch
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.schema(schemas.FRONTIER).parquet(*dirs)
+
+    def clear_salvage_upto(self, epoch: int) -> None:
+        base = os.path.join(self.workdir, "salvage")
+        if not os.path.exists(base):
+            return
+        for d in os.listdir(base):
+            if d.startswith("epoch=") and int(d.split("=")[1]) <= epoch:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     def append_epoch(self, df: DataFrame, kind: str, epoch: int) -> None:
         df.write.mode("overwrite").parquet(self.epoch_dir(kind, epoch))

@@ -32,6 +32,15 @@ class CrawlConfig:
     bloom_bits: int = 1 << 20  # per shard
     bloom_hashes: int = 5
     use_bloom: bool = True
+    # scale-aware Bloom sizing: when both are set, bloom_bits is DERIVED
+    # from the target false-positive rate at the expected seen-set
+    # cardinality (operators/dedup.bloom_bits_for) instead of the static
+    # default — at 10^10 fingerprints the static default silently degrades
+    # to all-maybe. The run fails LOUDLY if the derived shards exceed the
+    # broadcast budget (BASELINE.md documents the sizing table).
+    bloom_target_fpr: float | None = None
+    bloom_expected_seen: int | None = None
+    bloom_broadcast_budget_mb: int = 512
     # below this seen-set size the exact anti-join is cheaper than a Bloom
     # probe pass (the probe is a whole extra Python stage); the Bloom tier
     # pays off once `seen` is large enough that most candidates would
@@ -48,6 +57,16 @@ class CrawlConfig:
 
     # skew: salt partitions on hot hosts before UDF-heavy stages
     skew_salt: int = 8
+
+    # fetch join: broadcast the wave only up to this row count; bigger
+    # waves fall back to a shuffle join (a 10^7-row wave is no longer
+    # "small next to pages" for an executor heap)
+    broadcast_wave_max: int = 1_000_000
+
+    # optional per-host cumulative byte quota (ResourceQuotaManager analog,
+    # reference src/concurrency.rs:142-236): hosts whose downloaded bytes
+    # exceed the quota stop being scheduled (budget 0 in select_wave)
+    host_bytes_quota: int | None = None
 
     # detailed per-epoch counters + per-partition lineage rows. Costs a few
     # extra count jobs per epoch; turn off for steady-state throughput runs

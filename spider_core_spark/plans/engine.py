@@ -38,6 +38,7 @@ from spider_core_spark.functions import url as urlfn
 from spider_core_spark.operators import dedup as dedup_ops
 from spider_core_spark.operators import frontier as frontier_ops
 from spider_core_spark.operators import parse as parse_ops
+from spider_core_spark.operators import quota as quota_ops
 from spider_core_spark.plans.checkpoint import CheckpointStore
 from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.sources.fetcher import JoinFetcher, salt_repartition
@@ -224,6 +225,34 @@ class CrawlEngine:
         seeds_df: DataFrame | None = None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.config
+        if cfg.max_wave_size > frontier_ops.MAX_PARENT_RANK:
+            raise ValueError(
+                f"max_wave_size {cfg.max_wave_size} exceeds the seq "
+                f"packing's parent-rank capacity {frontier_ops.MAX_PARENT_RANK}"
+                " (operators/frontier.py seq layout)"
+            )
+        # Bloom sizing: derive bits from target FPR at expected cardinality
+        # when configured; ALWAYS check the broadcast budget — a silently
+        # undersized Bloom degrades to all-maybe, an oversized one OOMs the
+        # executors, and both should fail loudly at startup instead
+        bloom_bits = cfg.bloom_bits
+        if cfg.use_bloom:
+            if cfg.bloom_target_fpr is not None and cfg.bloom_expected_seen:
+                bloom_bits = dedup_ops.bloom_bits_for(
+                    -(-cfg.bloom_expected_seen // cfg.n_shards),
+                    cfg.bloom_target_fpr,
+                    cfg.bloom_hashes,
+                )
+            total_mb = cfg.n_shards * bloom_bits / 8 / 1e6
+            if total_mb > cfg.bloom_broadcast_budget_mb:
+                raise ValueError(
+                    f"Bloom shards need {total_mb:.0f} MB "
+                    f"({cfg.n_shards} shards x {bloom_bits} bits) — over the "
+                    f"{cfg.bloom_broadcast_budget_mb} MB broadcast budget. "
+                    "Raise bloom_broadcast_budget_mb, relax bloom_target_fpr, "
+                    "or set use_bloom=False (the exact anti-join tier alone "
+                    "is still correct; see BASELINE.md sizing table)."
+                )
         store = CheckpointStore(spark, cfg.workdir)
         fetcher = JoinFetcher(
             pages, cfg.extra.get("response_persist", "MEMORY_AND_DISK")
@@ -268,6 +297,19 @@ class CrawlEngine:
             frontier = spark.read.schema(schemas.FRONTIER).parquet(
                 store.frontier_dir(manifest["last_epoch"])
             )
+            # merge salvaged rows from a crashed post-manifest epoch
+            # (pending = queue ∪ salvaged, src/scheduler.rs:102); keeper on
+            # fingerprint collision = lowest (seq, state) — 'pending' wins
+            # ties so a snapshot row beats its salvaged twin
+            salv = store.read_salvage_after(manifest["last_epoch"])
+            if salv is not None:
+                wsalv = Window.partitionBy("fingerprint").orderBy("seq", "state")
+                frontier = (
+                    frontier.unionByName(salv)
+                    .withColumn("_rn", F.row_number().over(wsalv))
+                    .filter("_rn = 1")
+                    .drop("_rn")
+                )
             totals.update(manifest.get("totals", {}))
             pipeline_totals.update(manifest.get("pipeline_totals", {}))
             for p in self.pipelines:
@@ -291,7 +333,7 @@ class CrawlEngine:
             n_seen = seen0.count()
             blooms = (
                 dedup_ops.build_bloom_shards(
-                    seen0, cfg.n_shards, cfg.bloom_bits, cfg.bloom_hashes
+                    seen0, cfg.n_shards, bloom_bits, cfg.bloom_hashes
                 )
                 if cfg.use_bloom
                 else None
@@ -317,6 +359,38 @@ class CrawlEngine:
                         _budgets_dir(e)
                     )
                     break
+        # per-host byte quotas (ResourceQuotaManager analog,
+        # src/concurrency.rs:142-236): cumulative usage table, resumable
+        def _usage_dir(e: int) -> str:
+            return f"{cfg.workdir}/usage/epoch={e}"
+
+        usage = None
+        if cfg.host_bytes_quota is not None:
+            import os as _os
+
+            for e in range(epoch0 - 1, -1, -1):
+                if _os.path.exists(_usage_dir(e)):
+                    usage = spark.read.schema("host string, bytes long").parquet(
+                        _usage_dir(e)
+                    )
+                    break
+
+        def _effective_budgets():
+            """adaptive budgets ∩ quota zeros, merged by least()."""
+            parts = []
+            if budgets is not None:
+                parts.append(budgets)
+            if usage is not None and cfg.host_bytes_quota is not None:
+                parts.append(
+                    quota_ops.over_quota_hosts(usage, cfg.host_bytes_quota)
+                )
+            if not parts:
+                return None
+            merged = parts[0]
+            for p_ in parts[1:]:
+                merged = merged.unionByName(p_)
+            return merged.groupBy("host").agg(F.min("budget").alias("budget"))
+
         pool = ThreadPoolExecutor(max_workers=4)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
@@ -326,7 +400,7 @@ class CrawlEngine:
 
             with _T("select_wave"):
                 sel = frontier_ops.select_wave(
-                    frontier, robots, epoch, cfg, detail, budgets
+                    frontier, robots, epoch, cfg, detail, _effective_budgets()
                 )
             wave = sel.wave
             n_wave = sel.n_wave
@@ -373,7 +447,11 @@ class CrawlEngine:
                 "url", "depth", "priority", "seq", "retry_count",
                 "not_before_epoch", "epoch_added", "wave_rank",
             )
-            responses, _misses = fetcher.fetch(slim, persist=False)
+            responses, _misses = fetcher.fetch(
+                slim,
+                broadcast_wave=n_wave <= cfg.broadcast_wave_max,
+                persist=False,
+            )
             responses = responses.withColumn(
                 "fingerprint", urlfn.fingerprint_col(F.col("url"))
             ).withColumn("host", urlfn.host_col(F.col("url"))).withColumn(
@@ -501,7 +579,7 @@ class CrawlEngine:
                 # (near-empty) exact anti-join it would prefilter
                 blooms=blooms if n_seen >= cfg.bloom_min_seen else None,
                 n_shards=cfg.n_shards,
-                n_bits=cfg.bloom_bits,
+                n_bits=bloom_bits,
                 n_hashes=cfg.bloom_hashes,
             ).join(
                 F.broadcast(new_seen.select("fingerprint")),
@@ -532,8 +610,20 @@ class CrawlEngine:
             # overlap instead of adding up
             def _commit_frontier():
                 # frontier snapshot every epoch — both the resume point and
-                # the lineage break (iterative plans otherwise grow)
-                return store.write_frontier(frontier_next, epoch)
+                # the lineage break (iterative plans otherwise grow).
+                # F4 salvage producer (reference src/scheduler.rs:75,423,
+                # src/checkpoint.rs:118-123): if the snapshot commit fails,
+                # best-effort write the would-be frontier as
+                # state='salvaged' rows; resume merges them back so the
+                # epoch's discovered candidates survive the crash
+                try:
+                    return store.write_frontier(frontier_next, epoch)
+                except Exception:
+                    try:
+                        store.write_salvage(frontier_next, epoch)
+                    except Exception:
+                        pass
+                    raise
 
             def _commit_seen():
                 store.write_seen_delta(new_seen, epoch)
@@ -541,7 +631,7 @@ class CrawlEngine:
                     # incremental Bloom: OR the epoch's new fingerprints into
                     # the cached shard bitsets (no full-seen rescan)
                     return dedup_ops.build_bloom_shards(
-                        new_seen, cfg.n_shards, cfg.bloom_bits, cfg.bloom_hashes
+                        new_seen, cfg.n_shards, bloom_bits, cfg.bloom_hashes
                     )
                 return None
 
@@ -711,6 +801,16 @@ class CrawlEngine:
                     _budgets_dir(epoch)
                 )
 
+            def _commit_usage():
+                ep = rs.groupBy("host").agg(
+                    F.coalesce(F.sum("fetch_bytes"), F.lit(0)).alias("bytes")
+                )
+                nxt = quota_ops.accumulate_usage(usage, ep)
+                nxt.write.mode("overwrite").parquet(_usage_dir(epoch))
+                return spark.read.schema("host string, bytes long").parquet(
+                    _usage_dir(epoch)
+                )
+
             # ---- commit phase: frontier snapshot, seen delta + Bloom
             # delta, order log, adaptive budgets and (non-detail) metrics
             # are independent outputs — run them as CONCURRENT Spark jobs
@@ -723,6 +823,11 @@ class CrawlEngine:
                 f_budgets = (
                     pool.submit(_commit_budgets) if cfg.adaptive_budget else None
                 )
+                f_usage = (
+                    pool.submit(_commit_usage)
+                    if cfg.host_bytes_quota is not None
+                    else None
+                )
                 f_metrics = None if detail else pool.submit(_commit_metrics, 0)
                 frontier = f_frontier.result()
                 delta = f_seen.result()
@@ -730,6 +835,8 @@ class CrawlEngine:
                 f_status.result()
                 if f_budgets is not None:
                     budgets = f_budgets.result()
+                if f_usage is not None:
+                    usage = f_usage.result()
                 if f_metrics is not None:
                     f_metrics.result()
             if cfg.use_bloom and delta is not None:
@@ -766,6 +873,7 @@ class CrawlEngine:
                     }
                 )
             last_epoch_done = epoch
+            store.clear_salvage_upto(epoch)
             for df in (wave, rq, rs):
                 if df is not None:
                     df.unpersist()

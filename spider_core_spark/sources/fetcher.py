@@ -58,6 +58,14 @@ class JoinFetcher:
         shuffle; AQE's runtime bloom filter prunes the scan), then misses
         = wave anti-join the hit urls (both sides wave-sized).
 
+        ``broadcast_wave=False`` is the scale fallback for waves past the
+        executor broadcast budget (engine gates on
+        CrawlConfig.broadcast_wave_max): a shuffle join on url — with the
+        pages table bucketed/sorted by url (Iceberg) this is a
+        storage-partitioned join with no pages-side shuffle; on raw
+        parquet AQE plans it. The miss anti-join drops its broadcast hint
+        too (hit set is wave-sized, no longer small).
+
         Responses carry the originating request's columns, so the
         reference's response→request back-pointer (request_from_response,
         src/crawler/request_handler.rs:299,353) needs no second join. Adds
@@ -78,7 +86,11 @@ class JoinFetcher:
 
             responses = responses.persist(getattr(StorageLevel, self.storage_level))
         hit_urls = responses.select("url")
-        misses = wave.join(F.broadcast(hit_urls), "url", "left_anti")
+        misses = wave.join(
+            F.broadcast(hit_urls) if broadcast_wave else hit_urls,
+            "url",
+            "left_anti",
+        )
         for c in resp_cols:
             misses = misses.withColumn(c, F.lit(None).cast(dict(self.pages.dtypes)[c]))
         misses = misses.withColumn("cached", F.lit(False)).withColumn(

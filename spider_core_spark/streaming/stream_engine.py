@@ -7,19 +7,24 @@ exact ordering parity; this variant replays the CONTINUOUS shape instead:
 
 - the frontier is a file-based stream source (`readStream` over the
   frontier directory);
-- every micro-batch is a wave: robots filter → fetch join → parse UDF →
-  items append → mark seen → dedup discovered links → write them BACK
-  into the stream source directory (the scheduler feedback loop,
-  src/crawler/response_parser.rs:312);
+- every micro-batch is a wave with the SAME gatekeepers as the BSP path:
+  batch-level seen dedup → robots filter + per-host politeness budget
+  (operators/frontier.select_wave, epoch := batch_id) → request middleware
+  chain → fetch join → response middleware chain → parse UDF → items →
+  mark seen → enqueue-dedup discovered links → write them BACK into the
+  stream source (the scheduler feedback loop,
+  src/crawler/response_parser.rs:312); politeness-deferred rows are
+  re-emitted for a later batch, retries re-enter with retry_count+1;
 - `foreachBatch` is the reference's parser/pipeline worker pool;
 - termination = no new frontier files and no batch in flight (idle
   detection, src/crawler/core.rs:264-277);
-- the streaming checkpointLocation gives at-least-once batch recovery —
-  combined with the idempotent enqueue-dedup (candidates are deduped
-  against `seen` before being written into the source) the final seen
-  set and items match the BSP engine; the crawl ORDER is batch-dependent,
-  which mirrors the reference's true async nondeterminism (SURVEY.md
-  §3.2).
+- recovery is at-least-once per micro-batch; correctness holds because
+  every batch is (a) re-deduped against the persisted seen set at entry —
+  a URL discovered by two in-flight generations or a replayed batch is
+  fetched once — and (b) the items write is idempotent (one overwritten
+  directory per batch_id, so a replay rewrites rather than re-appends).
+  The crawl ORDER is batch-dependent, mirroring the reference's true
+  async nondeterminism (SURVEY.md §3.2).
 
 Event-time watermarks are deliberately absent: a crawl is processing-time
 (retry delays are the only "late data" and use `not_before_epoch`).
@@ -35,9 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_core_spark import schemas
+from spider_core_spark.api import middleware as mw
 from spider_core_spark.api.spider import Spider
 from spider_core_spark.functions import url as urlfn
 from spider_core_spark.operators import dedup as dedup_ops
+from spider_core_spark.operators import frontier as frontier_ops
 from spider_core_spark.operators import parse as parse_ops
 from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.sources.fetcher import JoinFetcher
@@ -46,10 +53,25 @@ _FCOLS = [f.name for f in schemas.FRONTIER.fields]
 
 
 class StreamingCrawlEngine:
-    def __init__(self, spark: SparkSession, spider: Spider, config: CrawlConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        spider: Spider,
+        config: CrawlConfig,
+        middlewares: list | None = None,
+    ):
         self.spark = spark
         self.spider = spider
         self.cfg = config
+        self.middlewares = list(middlewares or [])
+        if config.max_retries > 0:
+            self.middlewares.append(
+                mw.RetryOnStatus(
+                    config.retry_statuses,
+                    config.max_retries,
+                    config.retry_delay_epochs,
+                )
+            )
 
     # ------------------------------------------------------------ dirs
     @property
@@ -78,27 +100,79 @@ class StreamingCrawlEngine:
 
     # ----------------------------------------------------------- batches
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        spark, cfg = self.spark, self.cfg
+        cfg = self.cfg
         if batch.isEmpty():
             return
         self._active = time.monotonic()
 
-        wave = batch
+        # ---- entry dedup (at-least-once safety): replayed batches and
+        # URLs discovered by two in-flight generations collapse here —
+        # against the persisted seen set AND within the batch
+        seen = self._read_seen()
+        batch = (
+            batch.join(seen.select("fingerprint"), "fingerprint", "left_anti")
+            .dropDuplicates(["fingerprint"])
+        )
+
+        # ---- robots + politeness (same operator as the BSP engine;
+        # the batch id plays the epoch role for retry gating)
+        sel = frontier_ops.select_wave(
+            batch, self._robots, int(batch_id), cfg, detail=False
+        )
+        if not sel.leftover.isEmpty():
+            # politeness-deferred rows re-enter the stream for a later batch
+            self._emit_frontier(sel.leftover.select(*_FCOLS))
+        wave = sel.wave
+        if sel.n_wave == 0:
+            return
+
+        # ---- request middleware chain (forward order)
+        if self.middlewares:
+            rq = mw.run_request_chain(wave, self.middlewares)
+            req_retries = self._retry_rows(rq, int(batch_id))
+            to_fetch = rq.filter(F.col(mw.ACTION) == mw.CONTINUE).drop(
+                mw.ACTION, mw.RETRY_DELAY
+            )
+        else:
+            req_retries = None
+            to_fetch = wave
+
         fetcher = JoinFetcher(self._pages)
-        responses, _ = fetcher.fetch(wave, persist=False)
+        responses, _ = fetcher.fetch(
+            to_fetch,
+            broadcast_wave=True,  # micro-batches are bounded by maxFilesPerTrigger
+            persist=False,
+        )
+
+        # ---- response middleware chain (REVERSED order)
+        if self.middlewares:
+            rs0 = mw.run_response_chain(responses, self.middlewares)
+        else:
+            rs0 = responses.withColumn(mw.ACTION, F.lit(mw.CONTINUE)).withColumn(
+                mw.RETRY_DELAY, F.lit(0)
+            )
+
         parse_udf = parse_ops.make_parse_udf(self.spider.parse_frame)
         rs = (
-            responses.withColumn("parsed", parse_udf(F.col("url"), F.col("html")))
+            rs0.withColumn("parsed", parse_udf(F.col("url"), F.col("html")))
             .drop("html", "warc_ts", "text")
             .persist()
         )
-        ok = rs.filter(F.col("status") <= cfg.success_max_status)
-
-        # items
-        items = self.spider.build_items(
-            ok.withColumn("wave_rank", F.lit(0)), epoch=batch_id
+        resp_retries = (
+            self._retry_rows(rs, int(batch_id)) if self.middlewares else None
         )
-        items.write.mode("append").parquet(self._items_dir)
+        ok = rs.filter(
+            F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE)
+            & (F.col("status") <= cfg.success_max_status)
+        )
+
+        # items — idempotent per batch: replays overwrite, never re-append
+        items = self.spider.build_items(
+            ok.withColumn("wave_rank", F.lit(0)), epoch=int(batch_id)
+        )
+        items.write.mode("overwrite").parquet(
+            os.path.join(self._items_dir, f"b_{batch_id}")
+        )
 
         # mark seen
         new_seen = ok.select(
@@ -107,30 +181,65 @@ class StreamingCrawlEngine:
             dedup_ops.shard_col(F.col("fingerprint"), cfg.n_shards).alias("shard"),
         )
         new_seen.write.mode("overwrite").parquet(
-            os.path.join(self._seen_dir, f"b_{batch_id}_{uuid.uuid4().hex}")
+            os.path.join(self._seen_dir, f"b_{batch_id}")
         )
 
-        # discovered links → enqueue-dedup → feed back into the stream
-        seen = self._read_seen()
-        cands = parse_ops.link_candidates(
-            ok.withColumn("wave_rank", F.monotonically_increasing_id()),
-            epoch=batch_id,
-        )
+        # discovered links + retries → enqueue-dedup → feed back
+        # (wave_rank from select_wave is bounded by the wave size, so the
+        # child seq packing's parent-rank field can't overflow)
+        cands = parse_ops.link_candidates(ok, epoch=int(batch_id))
         if cfg.max_depth is not None:
             cands = cands.filter(F.col("depth") <= cfg.max_depth)
-        fresh = cands.join(seen.select("fingerprint"), "fingerprint", "left_anti")
-        fresh = fresh.dropDuplicates(["fingerprint"])
+        fresh = (
+            cands.join(seen.select("fingerprint"), "fingerprint", "left_anti")
+            .join(
+                F.broadcast(new_seen.select("fingerprint")),
+                "fingerprint",
+                "left_anti",
+            )
+            .dropDuplicates(["fingerprint"])
+            .select(*_FCOLS)
+        )
+        for r in (req_retries, resp_retries):
+            if r is not None:
+                fresh = fresh.unionByName(r.select(*_FCOLS))
         n_new = fresh.count()
         if n_new > 0:
-            self._emit_frontier(fresh.select(*_FCOLS))
+            self._emit_frontier(fresh)
             self._active = time.monotonic()
         rs.unpersist()
 
+    def _retry_rows(self, tagged: DataFrame, batch_id: int) -> DataFrame:
+        """Retry action → frontier rows (retry_count+1, eligible from the
+        next batch-id onward — processing-time retry, the stream analog of
+        the BSP not_before_epoch gate)."""
+        return tagged.filter(F.col(mw.ACTION) == mw.RETRY).select(
+            "url",
+            "fingerprint",
+            "host",
+            "host_hash",
+            "depth",
+            "priority",
+            "seq",
+            (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            (F.lit(batch_id + 1) + F.col(mw.RETRY_DELAY)).cast("int").alias(
+                "not_before_epoch"
+            ),
+            F.lit("pending").alias("state"),
+            F.lit(batch_id + 1).cast("int").alias("epoch_added"),
+        )
+
     # --------------------------------------------------------------- run
-    def run(self, pages: DataFrame, idle_timeout_s: float = 20.0) -> dict:
+    def run(
+        self,
+        pages: DataFrame,
+        robots: DataFrame | None = None,
+        idle_timeout_s: float = 20.0,
+    ) -> dict:
         spark, cfg = self.spark, self.cfg
         os.makedirs(self._in_dir, exist_ok=True)
         self._pages = pages
+        self._robots = robots if cfg.use_robots else None
         self._active = time.monotonic()
 
         # seed injection (same normalization as the BSP engine)
@@ -178,8 +287,8 @@ class StreamingCrawlEngine:
 
         seen = self._read_seen()
         items = (
-            spark.read.schema(schemas.ITEMS).parquet(self._items_dir)
-            if os.path.exists(self._items_dir)
+            spark.read.schema(schemas.ITEMS).parquet(self._items_dir + "/*")
+            if os.path.exists(self._items_dir) and os.listdir(self._items_dir)
             else spark.createDataFrame([], schemas.ITEMS)
         )
         return {"seen": seen, "items": items}

@@ -47,3 +47,76 @@ def test_streaming_matches_bsp_final_state(spark, tmp_path_factory):
     bsp_items = {(r["url"], r["text"]) for r in bsp.items().collect()}
     st_items = {(r["url"], r["text"]) for r in stream["items"].collect()}
     assert st_items == bsp_items
+
+
+def test_streaming_respects_robots_and_politeness(spark, tmp_path_factory):
+    """Parity gatekeepers in the streaming path: a robots-disallowed URL is
+    never fetched and a per-host budget is enforced per micro-batch (the
+    BSP engine has had both since round 1)."""
+    from pyspark.sql import functions as F
+
+    from spider_core_spark import schemas as sch
+
+    rows = sitegen.gen_pages_rows(range(N_PAGES), N_PAGES, N_SITES, SEED)
+    pages = spark.createDataFrame(rows, sch.PAGES)
+    seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
+    blocked_host = "site0.test"
+    robots = spark.createDataFrame(
+        [(blocked_host, ["/"], None, None),
+         ("site1.test", [], None, 2),
+         ("site2.test", [], None, 2)],
+        sch.ROBOTS,
+    )
+    out = StreamingCrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("stream_rb")),
+            use_robots=True,
+            default_host_budget=2,
+        ),
+    ).run(pages, robots=robots, idle_timeout_s=15.0)
+
+    items = out["items"]
+    fetched_hosts = {
+        r["host"]
+        for r in items.select(
+            F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host")
+        ).collect()
+    }
+    assert blocked_host not in fetched_hosts  # robots drop is permanent
+    assert fetched_hosts  # the allowed hosts still crawled
+    # per-batch budget: ≤2 fetches per host per batch(epoch)
+    per = (
+        items.groupBy(
+            "epoch", F.regexp_extract("url", r"https?://([^/]+)", 1).alias("h")
+        )
+        .count()
+        .collect()
+    )
+    assert per and all(r["count"] <= 2 for r in per)
+
+
+def test_streaming_no_duplicate_fetch_across_generations(
+    spark, tmp_path_factory
+):
+    """ADVICE fix: every URL is fetched/written at most once even when
+    discovered by multiple in-flight generations — items carry no
+    duplicate urls and seen has no duplicate fingerprints."""
+    rows = sitegen.gen_pages_rows(range(N_PAGES), N_PAGES, N_SITES, SEED)
+    pages = spark.createDataFrame(rows, schemas.PAGES)
+    seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
+    out = StreamingCrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("stream_dup")),
+            use_robots=False,
+            default_host_budget=10**9,
+        ),
+    ).run(pages, idle_timeout_s=15.0)
+    items = out["items"].collect()
+    urls = [r["url"] for r in items]
+    assert len(urls) == len(set(urls))
+    fps = [r["fingerprint"] for r in out["seen"].collect()]
+    assert len(fps) == len(set(fps))
