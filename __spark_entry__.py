@@ -56,10 +56,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
         "u1_union_distinct": dq.u1_union_distinct,
+        "u2_queue_salvage": dq.u2_queue_salvage,
         "p2_first_seen": dq.p2_first_seen,
+        "p4_request_drop": dq.p4_request_drop,
+        "p5_response_drop": dq.p5_response_drop,
+        "s2_host_extract": dq.s2_host_extract,
+        "s5_byte_format": dq.s5_byte_format,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
+        "a4_parse_timing": dq.a4_parse_timing,
         "a6_sliding_rate": dq.a6_sliding_rate,
         "a6_ema": dq.a6_ema,
         "a7_pipeline_timing": dq.a7_pipeline_timing,
@@ -71,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": td.simhash,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
         "dedup_embedding_cosine": td.embedding_neardup,
+        "dedup_embedding_ivf": td.embedding_ivf_neardup,
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
@@ -102,10 +109,16 @@ def oracle_sql() -> dict[str, str]:
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,
         "u1_union_distinct": dq.U1_SQL,
+        "u2_queue_salvage": dq.U2_SQL,
         "p2_first_seen": dq.P2_SQL,
+        "p4_request_drop": dq.P4_SQL,
+        "p5_response_drop": dq.P5_SQL,
+        "s2_host_extract": dq.S2_SQL,
+        "s5_byte_format": dq.S5_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
+        "a4_parse_timing": dq.A4_SQL,
         "a6_sliding_rate": dq.A6_SQL,
         "a6_ema": dq.A6_EMA_SQL,
         "a7_pipeline_timing": dq.A7_SQL,
@@ -116,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": td.simhash_sql(),
         "dedup_ngram_jaccard": td.ngram_jaccard_sql(),
         "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
+        "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
         "text_langid": ta.lang_id_sql(),

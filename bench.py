@@ -69,6 +69,7 @@ def run_queries(spark) -> dict[str, float]:
         "dedup_simhash": td.simhash,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
         "dedup_embedding_cosine": td.embedding_neardup,
+        "dedup_embedding_ivf": td.embedding_ivf_neardup,
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
         "text_langid": ta.lang_id,

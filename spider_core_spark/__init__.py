@@ -9,9 +9,10 @@ src/crawler/core.rs:111-368). All row-level logic is vectorized
 (pyspark.sql.functions or Arrow pandas UDFs); no per-row Python.
 """
 
+from spider_core_spark.errors import SpiderError
 from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.plans.engine import CrawlEngine
 from spider_core_spark.api.spider import Spider
 
-__all__ = ["CrawlConfig", "CrawlEngine", "Spider"]
+__all__ = ["CrawlConfig", "CrawlEngine", "Spider", "SpiderError"]
 __version__ = "0.1.0"

@@ -91,4 +91,15 @@ class CrawlConfig:
     # success, src/crawler/request_handler.rs:352-362)
     success_max_status: int = 399
 
+    # S1: reject unparseable seed URLs with SpiderError at injection time
+    # (reference Url::parse err → SpiderError, src/spider.rs:118-120);
+    # discovered links are still filtered silently (resolve_link)
+    validate_seeds: bool = True
+
+    # P6: during the shutdown epoch (the last one before max_epochs) skip
+    # enqueueing newly discovered requests (reference shutdown skip,
+    # src/crawler/response_parser.rs:303-310). Off by default because a
+    # resumed run with a higher max_epochs would otherwise lose them.
+    shutdown_skip_discoveries: bool = False
+
     extra: dict = field(default_factory=dict)

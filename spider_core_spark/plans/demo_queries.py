@@ -201,6 +201,153 @@ AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 
 """
 
 
+# --- P4: middleware Drop on requests (DropUrlPattern shape) ------------------
+# reference request_handler.rs:215-222: rows matching the drop predicate
+# are filtered before fetch; survivors continue
+def p4_request_drop(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.filter(~F.col("props").like('%"k": 1%')).select(
+        "event_id", "event_type", "props"
+    )
+
+
+P4_SQL = """
+SELECT event_id, event_type, props FROM events
+WHERE props NOT LIKE '%"k": 1%'
+"""
+
+
+# --- P5: middleware Drop on responses (MaxBodySize shape) --------------------
+# reference request_handler.rs:325-332: oversized bodies dropped post-fetch
+def p5_response_drop(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_retailprice") <= 1500.0).select(
+        "p_partkey", "p_retailprice"
+    )
+
+
+P5_SQL = """
+SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice <= 1500.0
+"""
+
+
+# --- U2: queue ∪ salvage at snapshot ------------------------------------------
+# reference checkpoint.rs:74-78 / scheduler.rs:102: restore counts both
+# pending tiers; the union keeps the state tag
+def u2_queue_salvage(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    pending = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("pending").alias("state")
+    )
+    salvaged = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("salvaged").alias("state")
+    )
+    return pending.unionByName(salvaged)
+
+
+U2_SQL = """
+SELECT o_orderkey, 'pending' AS state FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, 'salvaged' AS state FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# --- A4: parse-time min/max/avg (src/stats.rs:429-463 shape) ------------------
+def a4_parse_timing(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy("event_type").agg(
+        (F.min(cents) / 100.0).alias("min_ms"),
+        (F.max(cents) / 100.0).alias("max_ms"),
+        (F.round(F.sum(cents) * 100.0 / F.count("*"), 0) / 10000.0).alias(
+            "avg_ms"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+A4_SQL = """
+SELECT event_type,
+       min(round(value * 100)::BIGINT) / 100.0 AS min_ms,
+       max(round(value * 100)::BIGINT) / 100.0 AS max_ms,
+       round(sum(round(value * 100)::BIGINT) * 100.0 / count(*), 0) / 10000.0
+         AS avg_ms,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- S2: host extraction with 'unknown' default -------------------------------
+# reference request_handler.rs:129 url.host_str() default; every 10th URL
+# is scheme-less → unparseable → 'unknown'
+def s2_host_extract(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    url = F.when(
+        F.col("c_custkey") % 10 == 0, F.col("c_name")
+    ).otherwise(
+        F.concat(
+            F.lit("https://c"),
+            F.col("c_custkey").cast("string"),
+            F.lit(".Example.COM/acct"),
+        )
+    )
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return c.select(
+        "c_custkey",
+        F.when(h == "", F.lit("unknown")).otherwise(h).alias("host"),
+    )
+
+
+S2_SQL = f"""
+SELECT c_custkey,
+       CASE WHEN lower(regexp_extract(u, '{_HOST_RE}', 1)) = ''
+            THEN 'unknown'
+            ELSE lower(regexp_extract(u, '{_HOST_RE}', 1)) END AS host
+FROM (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_name
+              ELSE 'https://c' || c_custkey || '.Example.COM/acct' END AS u
+  FROM customer
+)
+"""
+
+
+# --- S5: byte-size formatting (src/stats.rs:174-188) --------------------------
+# KB/MB/GB breakpoints with {:.2}; the value is pre-rounded to 2 dp in BOTH
+# engines before formatting (dyadic b/1024 quotients would otherwise hit
+# exact .xx5 midpoints where Java's HALF_UP and C's half-even disagree)
+def s5_byte_format(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    b = (
+        F.round(F.col("l_extendedprice") * F.col("l_quantity")).cast("long")
+        * 1024
+    )
+    kb, mb, gb = 1024, 1024**2, 1024**3
+    fmt = (
+        F.when(b >= gb, F.format_string("%.2f GB", F.round(b / gb, 2)))
+        .when(b >= mb, F.format_string("%.2f MB", F.round(b / mb, 2)))
+        .when(b >= kb, F.format_string("%.2f KB", F.round(b / kb, 2)))
+        .otherwise(F.format_string("%d B", b))
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", b.alias("bytes"), fmt.alias("formatted")
+    )
+
+
+S5_SQL = """
+SELECT l_orderkey, l_linenumber, b AS bytes,
+       CASE WHEN b >= 1073741824 THEN printf('%.2f GB', round(b / 1073741824.0, 2))
+            WHEN b >= 1048576    THEN printf('%.2f MB', round(b / 1048576.0, 2))
+            WHEN b >= 1024       THEN printf('%.2f KB', round(b / 1024.0, 2))
+            ELSE printf('%d B', b) END AS formatted
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice * l_quantity)::BIGINT * 1024 AS b
+  FROM lineitem
+)
+"""
+
+
 # --- A1: counter aggregates --------------------------------------------------
 def a1_counters(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

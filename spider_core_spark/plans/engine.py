@@ -34,6 +34,7 @@ from spider_core_spark import schemas
 from spider_core_spark.api import middleware as mw
 from spider_core_spark.api.pipeline import Pipeline, run_pipelines
 from spider_core_spark.api.spider import Spider
+from spider_core_spark.errors import SpiderError
 from spider_core_spark.functions import url as urlfn
 from spider_core_spark.operators import dedup as dedup_ops
 from spider_core_spark.operators import frontier as frontier_ops
@@ -187,6 +188,16 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).cast("int").alias("epoch_added"),
         )
+        if self.config.validate_seeds:
+            # S1 (src/spider.rs:118-120): a seed that yields no parseable
+            # host is an error, not a silent drop
+            bad = df.filter(F.col("host") == "unknown")
+            bad_rows = bad.select("url").limit(5).collect()
+            if bad_rows:
+                raise SpiderError(
+                    "unparseable seed URL(s): "
+                    + ", ".join(r["url"] for r in bad_rows)
+                )
         if self.config.seeds_pre_deduped:
             return df
         w = Window.partitionBy("fingerprint").orderBy("seq")
@@ -566,7 +577,15 @@ class CrawlEngine:
             # see the dedup INVARIANT note in operators/frontier.py. The
             # Bloom shards prefilter the old-seen tier; this epoch's fresh
             # marks and the pending set are exact joins.
-            cands = parse_ops.link_candidates(ok, epoch)
+            shutdown_epoch = (
+                cfg.shutdown_skip_discoveries and epoch == cfg.max_epochs - 1
+            )
+            if shutdown_epoch:
+                # P6 shutdown skip (response_parser.rs:303-310): discovered
+                # requests are not enqueued during the shutdown epoch
+                cands = spark.createDataFrame([], schemas.FRONTIER)
+            else:
+                cands = parse_ops.link_candidates(ok, epoch)
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)
             retries = [r for r in (req_retries, resp_retries) if r is not None]

@@ -23,7 +23,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spider_core_spark.functions.hashing import h64_duckdb
@@ -321,6 +321,7 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 
 # ------------------------------------------------- embedding cosine near-dup
 COSINE_THRESHOLD = 0.9
+IVF_K = 8  # centroids for the IVF-cell variant
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,4 +359,77 @@ FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
 WHERE round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) /
             (sqrt(list_sum([x * x for x in l.v])) *
              sqrt(list_sum([x * x for x in r.v]))), 3) >= {COSINE_THRESHOLD}
+"""
+
+
+def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned near-dup — the 100-TB shape the label-blocked
+    variant stands in for: IVF_K deterministic seed centroids (the first
+    K vectors), every vector assigned to its nearest centroid by cosine
+    (rounded to 6 dp so both engines argmin identically; ties broken by
+    centroid id), near-dup pairs computed ONLY within a cell. The cell id
+    is the shuffle key at scale; the centroid table broadcasts."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = e.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("vc")
+    )
+
+    def _cos(a: str, b: str):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (na * nb)
+
+    assign = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", F.round(_cos("v", "vc"), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cid")
+    cells = (
+        assign.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("vec_id", "v", "cid")
+    )
+    l = cells.select(F.col("vec_id").alias("a"), "cid", F.col("v").alias("va"))
+    r = cells.select(F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb"))
+    return (
+        l.join(r, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_cos("va", "vb"), 3))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("a", "b", "cos")
+    )
+
+
+_DUCK_COS = (
+    "list_sum([{l}[i] * {r}[i] for i in range(1, len({l}) + 1)]) / "
+    "(sqrt(list_sum([x * x for x in {l}])) * "
+    "sqrt(list_sum([x * x for x in {r}])))"
+)
+
+EMBEDDING_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_K}),
+a AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round({_DUCK_COS.format(l='e.v', r='c.vc')}, 6) AS cos_c
+  FROM e CROSS JOIN c
+),
+cells AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_c DESC, cid) AS rn
+    FROM a
+  ) WHERE rn = 1
+)
+SELECT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round({_DUCK_COS.format(l='l.v', r='r.v')}, 3) AS cos
+  FROM cells l JOIN cells r ON l.cid = r.cid AND l.vec_id < r.vec_id
+)
+WHERE cos >= {COSINE_THRESHOLD}
 """

@@ -161,6 +161,59 @@ def test_salvage_producer_crash_resume_identical(spark, tmp_path, monkeypatch):
     assert _crawl_state(resumed) == _crawl_state(baseline)
 
 
+def test_invalid_seed_raises_spider_error(spark, tmp_path):
+    from spider_core_spark.errors import SpiderError
+
+    eng = CrawlEngine(
+        spark,
+        Spider(start_urls=["https://ok.test/", "not a url at all"]),
+        CrawlConfig(workdir=str(tmp_path / "run_bad")),
+    )
+    pages = spark.createDataFrame([], "url string, warc_ts timestamp, "
+                                      "html binary, text string, lang string")
+    with pytest.raises(SpiderError, match="not a url at all"):
+        eng.run(pages)
+
+
+def test_shutdown_skip_discoveries(spark, tmp_path):
+    """P6 (response_parser.rs:303-310): with the flag on, the final epoch
+    parses its wave but enqueues no discovered requests — the leftover
+    frontier shrinks instead of growing."""
+    sitegen.write_fixture(spark, str(tmp_path / "site"), n_pages=200, n_sites=3)
+    pages = spark.read.parquet(str(tmp_path / "site" / "pages.parquet"))
+    seeds = [
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "site" / "seeds.parquet"))
+        .orderBy("seq")
+        .collect()
+    ]
+
+    def run(workdir, skip):
+        return CrawlEngine(
+            spark,
+            Spider(start_urls=seeds),
+            CrawlConfig(
+                workdir=workdir, max_epochs=2, shutdown_skip_discoveries=skip
+            ),
+        ).run(pages)
+
+    kept = run(str(tmp_path / "keep"), False)
+    skipped = run(str(tmp_path / "skip"), True)
+    # same fetch activity...
+    assert skipped.totals["requests_sent"] == kept.totals["requests_sent"]
+    # ...but epoch-1 discoveries were not enqueued
+    assert (
+        skipped.totals["requests_enqueued"] < kept.totals["requests_enqueued"]
+    )
+    f_kept = spark.read.parquet(
+        CheckpointStore(spark, str(tmp_path / "keep")).frontier_dir(1)
+    ).count()
+    f_skip = spark.read.parquet(
+        CheckpointStore(spark, str(tmp_path / "skip")).frontier_dir(1)
+    ).count()
+    assert f_skip < f_kept
+
+
 def test_host_bytes_quota_stops_scheduling(spark, tmp_path):
     sitegen.write_fixture(spark, str(tmp_path / "site"), n_pages=300, n_sites=3)
     pages = spark.read.parquet(str(tmp_path / "site" / "pages.parquet"))
