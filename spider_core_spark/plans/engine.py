@@ -151,6 +151,9 @@ class CrawlEngine:
     config: CrawlConfig = field(default_factory=CrawlConfig)
     middlewares: list = field(default_factory=list)
     pipelines: list[Pipeline] = field(default_factory=list)
+    # opaque per-run fetcher state checkpointed in the manifest (the
+    # reference's feature-gated cookie_store, src/checkpoint.rs:88-91)
+    cookie_store: dict | None = None
 
     def __post_init__(self):
         cfg = self.config
@@ -323,6 +326,10 @@ class CrawlEngine:
                 )
             totals.update(manifest.get("totals", {}))
             pipeline_totals.update(manifest.get("pipeline_totals", {}))
+            # cookie-store slot (reference checkpoint field,
+            # src/checkpoint.rs:88-91, feature-gated there): an opaque
+            # JSON blob a fetcher may stash per run; round-trips resume
+            self.cookie_store = manifest.get("cookie_store", self.cookie_store)
             for p in self.pipelines:
                 st = manifest.get("pipeline_states", {}).get(p.name)
                 if st is not None:
@@ -882,6 +889,7 @@ class CrawlEngine:
                     {
                         "last_epoch": epoch,
                         "totals": totals,
+                        "cookie_store": self.cookie_store,
                         "pipeline_totals": pipeline_totals,
                         "pipeline_states": {
                             p.name: p.get_state()

@@ -92,3 +92,24 @@ def test_seen_compaction_preserves_state(spark, site, tmp_path_factory):
     assert _snapshot(full) == _snapshot(resumed)
     import os
     assert os.path.exists(os.path.join(wd_comp, "seen_compact"))
+
+
+def test_cookie_store_roundtrips_manifest(spark, site, tmp_path_factory):
+    """Cookie-store checkpoint slot (reference src/checkpoint.rs:88-91):
+    an opaque blob set on the engine survives kill/resume."""
+    from spider_core_spark import CrawlConfig, CrawlEngine, Spider
+
+    pages, seeds = site
+    wd = str(tmp_path_factory.mktemp("cookie"))
+    eng = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(workdir=wd, max_epochs=1),
+        cookie_store={"session": "abc123", "domain": "site0.test"},
+    )
+    eng.run(pages)
+    eng2 = CrawlEngine(
+        spark, Spider(start_urls=seeds), CrawlConfig(workdir=wd, max_epochs=2)
+    )
+    eng2.run(pages, resume=True)
+    assert eng2.cookie_store == {"session": "abc123", "domain": "site0.test"}
