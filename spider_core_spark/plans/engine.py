@@ -409,12 +409,16 @@ class CrawlEngine:
                 merged = merged.unionByName(p_)
             return merged.groupBy("host").agg(F.min("budget").alias("budget"))
 
-        pool = ThreadPoolExecutor(max_workers=4)
+        # one worker per concurrent commit artifact (frontier, seen, order,
+        # status, metrics, budgets, usage) — a smaller pool serializes the
+        # tail commits and shows up directly in epoch wall time
+        pool = ThreadPoolExecutor(max_workers=8)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
         while epoch < cfg.max_epochs:
             t0 = time.monotonic()
-            seen = store.read_seen(epoch - 1)
+            with _T("seen_read"):
+                seen = store.read_seen(epoch - 1)
 
             with _T("select_wave"):
                 sel = frontier_ops.select_wave(
@@ -437,6 +441,7 @@ class CrawlEngine:
 
             # ---- request middleware chain (forward order); skipped
             # entirely when no middlewares are registered
+            t_build0 = time.monotonic()
             if self.middlewares:
                 rq = mw.run_request_chain(wave, self.middlewares).persist()
                 rqc = {
@@ -545,11 +550,15 @@ class CrawlEngine:
                 F.min("parsed.parse_ms").alias("parse_ms_min"),
                 F.max("parsed.parse_ms").alias("parse_ms_max"),
             )
+            stage_s["plan_build"] = stage_s.get("plan_build", 0.0) + (
+                time.monotonic() - t_build0
+            )
             with _T("fetch_agg"):
                 st = st_q.collect()[0]
             n_miss = n_sent - int(st["received"])
             n_ok = int(st["ok"])
 
+            t_build1 = time.monotonic()
             items = self.spider.build_items(ok, epoch)
             if self.pipelines:
                 items_out, items_dropped, pstats = run_pipelines(
@@ -630,6 +639,9 @@ class CrawlEngine:
             for r in retries:
                 frontier_next = frontier_next.unionByName(r.select(*_FCOLS))
 
+            stage_s["cand_build"] = stage_s.get("cand_build", 0.0) + (
+                time.monotonic() - t_build1
+            )
             # ---- commit phase: the frontier snapshot, seen delta, order log
             # and metrics are independent outputs — submit them as
             # CONCURRENT Spark jobs (threaded driver) so their latencies
@@ -885,6 +897,8 @@ class CrawlEngine:
                     _commit_metrics(n_enq)
 
             # manifest commit = the epoch becomes the resume point
+            with _T("manifest"):
+                pass
             store.write_manifest(
                     {
                         "last_epoch": epoch,
