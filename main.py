@@ -23,6 +23,12 @@ def main() -> None:
     ap.add_argument("--seeds", help="seed table (url, seq) — or --seed-urls")
     ap.add_argument("--seed-urls", nargs="*", default=[], help="inline seed urls")
     ap.add_argument("--robots", help="robots rules table")
+    ap.add_argument(
+        "--robots-from-pages",
+        action="store_true",
+        help="build the rules table by parsing /robots.txt bodies out of "
+        "the pages corpus (sources/robots.py)",
+    )
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--max-epochs", type=int, default=100)
     ap.add_argument("--max-wave", type=int, default=30_000)
@@ -42,7 +48,12 @@ def main() -> None:
     spark = SparkSession.builder.appName("spider-core-spark-crawl").getOrCreate()
 
     pages = spark.read.parquet(args.pages)
-    robots = spark.read.parquet(args.robots) if args.robots else None
+    if args.robots_from_pages:
+        from spider_core_spark.sources.robots import parse_robots
+
+        robots = parse_robots(pages)
+    else:
+        robots = spark.read.parquet(args.robots) if args.robots else None
     seeds_df = spark.read.parquet(args.seeds) if args.seeds else None
 
     cfg = CrawlConfig(

@@ -1,0 +1,140 @@
+"""robots.txt ingestion: raw robots bodies → the ROBOTS rules table.
+
+The reference delegates robots/politeness to spider-middleware
+(reference src/builder.rs:25-33 doc example); the north-star architecture
+calls for "host-keyed politeness buckets with robots.txt caching". This
+module builds that cache FROM the crawl corpus itself: the pages table
+rows whose url path is /robots.txt are parsed into (host, disallow,
+crawl_delay_ms, max_per_epoch) rules consumed by select_wave.
+
+Fully JVM-side (split → explode → filter → groupBy): parsing ~10^8
+robots bodies is a narrow shuffle-once aggregation, no Python in the
+loop. Semantics (deliberately minimal, documented):
+
+- only the `User-agent: *` group is honored (directives after a
+  `User-agent: *` line up to the next User-agent line);
+- `Disallow:` values collected as prefix rules ('' i.e. allow-all is
+  skipped); `Crawl-delay:` seconds → crawl_delay_ms;
+- `max-per-epoch:` is a non-standard extension this engine reads from
+  fixtures (same key select_wave uses); absent → NULL (engine default);
+- directive keys are case-insensitive; inline `#` comments stripped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spider_core_spark.functions import url as urlfn
+
+
+def robots_pages(pages: DataFrame) -> DataFrame:
+    """Rows of the corpus that are robots.txt documents."""
+    return pages.filter(F.col("url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\.txt$"))
+
+
+def parse_robots(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """robots.txt bodies → ROBOTS-schema rules table (one row per host).
+
+    `text_col` holds the robots body (the CC-style pages table carries
+    extracted text; pass 'html' cast to string for raw fixtures)."""
+    lines = (
+        robots_pages(pages)
+        .select(
+            urlfn.host_col(F.col("url")).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        )
+        # strip inline comments + whitespace, lowercase the key
+        .withColumn("line", F.trim(F.substring_index("line", "#", 1)))
+        .filter(F.col("line") != "")
+        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
+        .withColumn(
+            "value",
+            F.trim(F.regexp_replace("line", r"^[^:]*:", "")),
+        )
+    )
+    # group membership: a directive belongs to the most recent User-agent
+    # line above it; we honor the '*' group (running max of the last
+    # user-agent line_no, then check that line's value)
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = (
+        lines.withColumn(
+            "ua_line",
+            F.last(
+                F.when(F.col("key") == "user-agent", F.col("line_no")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .withColumn(
+            "ua_value",
+            F.last(
+                F.when(F.col("key") == "user-agent", F.col("value")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("ua_value") == "*")
+    )
+    rules = tagged.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("key") == "disallow") & (F.col("value") != ""),
+                    F.col("value"),
+                )
+            )
+        ).alias("disallow"),
+        (
+            F.max(
+                F.when(
+                    F.col("key") == "crawl-delay", F.col("value").cast("double")
+                )
+            )
+            * 1000
+        )
+        .cast("int")
+        .alias("crawl_delay_ms"),
+        F.max(
+            F.when(F.col("key") == "max-per-epoch", F.col("value").cast("int"))
+        ).alias("max_per_epoch"),
+    )
+    return rules.select("host", "disallow", "crawl_delay_ms", "max_per_epoch")
+
+
+def parse_robots_py(host_bodies: dict[str, str]) -> list[dict]:
+    """Pure-Python twin of parse_robots (oracle for the parity test)."""
+    out = []
+    for host, body in host_bodies.items():
+        disallow, delay, mpe = [], None, None
+        ua = None
+        for raw in body.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            key, value = key.strip().lower(), value.strip()
+            if key == "user-agent":
+                ua = value
+                continue
+            if ua != "*":
+                continue
+            if key == "disallow" and value:
+                disallow.append(value)
+            elif key == "crawl-delay":
+                d = int(float(value) * 1000)
+                delay = d if delay is None else max(delay, d)
+            elif key == "max-per-epoch":
+                v = int(value)
+                mpe = v if mpe is None else max(mpe, v)
+        out.append(
+            {
+                "host": host,
+                "disallow": sorted(disallow),
+                "crawl_delay_ms": delay,
+                "max_per_epoch": mpe,
+            }
+        )
+    return out
