@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": td.minhash_bands,
         "dedup_minhash_pairs": td.minhash_pairs,
         "dedup_simhash": td.simhash,
+        "dedup_simhash_pairs": td.simhash_pairs,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
         "dedup_embedding_cosine": td.embedding_neardup,
         "dedup_embedding_ivf": td.embedding_ivf_neardup,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ta.quality_score,
         "text_tokens": ta.token_counts,
         "text_fingerprint": ta.doc_fingerprint,
+        "text_vocab_topk": ta.vocab_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -127,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_bands": td.minhash_bands_sql(),
         "dedup_minhash_pairs": td.minhash_pairs_sql(),
         "dedup_simhash": td.simhash_sql(),
+        "dedup_simhash_pairs": td.simhash_pairs_sql(),
         "dedup_ngram_jaccard": td.ngram_jaccard_sql(),
         "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
         "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
@@ -136,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ta.quality_score_sql(),
         "text_tokens": ta.TOKEN_COUNTS_SQL,
         "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
+        "text_vocab_topk": ta.vocab_topk_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

@@ -95,7 +95,9 @@ def select_wave(
     j = None
     robots_dropped = 0
     if cfg.use_robots and robots is not None:
-        rb = F.broadcast(robots.select("host", "disallow", "max_per_epoch"))
+        rb = F.broadcast(
+            robots.select("host", "disallow", "max_per_epoch", "crawl_delay_ms")
+        )
         j = eligible.join(rb, "host", "left").withColumn(
             "_path", path_col(F.col("url"))
         )
@@ -109,14 +111,18 @@ def select_wave(
             robots_dropped = j.filter("_robots_block").count()
         allowed = j.filter(~F.col("_robots_block"))
     else:
-        allowed = eligible.withColumn("max_per_epoch", F.lit(None).cast("int"))
+        allowed = eligible.withColumn(
+            "max_per_epoch", F.lit(None).cast("int")
+        ).withColumn("crawl_delay_ms", F.lit(None).cast("int"))
 
     # --- per-host politeness budget (host-partitioned window: distributed).
     # With no robots table, no adaptive budgets and an effectively-infinite
     # default the window is an identity — skip it (same rule in the
     # simulator).
     unlimited = (
-        robots is None and budgets is None and cfg.default_host_budget >= 10**9
+        (robots is None or not cfg.use_robots)
+        and budgets is None
+        and cfg.default_host_budget >= 10**9
     )
     if unlimited:
         within = allowed.select(*fcols)
@@ -143,6 +149,24 @@ def select_wave(
                 ),
             ),
         )
+        if cfg.epoch_time_budget_ms is not None:
+            # Crawl-delay enforcement (the reference's RateLimitMiddleware
+            # analog, doc example src/builder.rs:25-33): with one epoch
+            # budgeted at epoch_time_budget_ms of per-host wall time, a
+            # host asking for crawl_delay_ms between hits gets at most
+            # floor(budget/delay) fetches per epoch (min 1). Opt-in — the
+            # BSP epoch has no inherent wall-clock, so the budget is the
+            # operator's stated epoch duration.
+            delay_budget = F.when(
+                F.col("crawl_delay_ms").isNotNull() & (F.col("crawl_delay_ms") > 0),
+                F.greatest(
+                    F.floor(
+                        F.lit(cfg.epoch_time_budget_ms) / F.col("crawl_delay_ms")
+                    ),
+                    F.lit(1),
+                ),
+            )
+            budget = F.least(budget, F.coalesce(delay_budget, budget))
         whost = Window.partitionBy("host").orderBy("priority", "seq")
         polite = allowed.withColumn("_hrn", F.row_number().over(whost)).withColumn(
             "_over_budget", F.col("_hrn") > budget

@@ -17,6 +17,11 @@ class CrawlConfig:
     max_wave_size: int = 30_000
     # politeness: per-host per-epoch budget when robots has no max_per_epoch
     default_host_budget: int = 1_000_000
+    # opt-in Crawl-delay enforcement: treat one epoch as this much per-host
+    # wall time, so a robots crawl_delay_ms of D caps the host at
+    # floor(epoch_time_budget_ms / D) fetches per epoch (min 1). None =
+    # delays ignored (the round-1 behavior the simulator mirrors).
+    epoch_time_budget_ms: int | None = None
     use_robots: bool = True
     max_depth: int | None = None
 

@@ -10,7 +10,7 @@ with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -156,4 +156,45 @@ DOC_FINGERPRINT_SQL = """
 SELECT doc_id,
        sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS doc_fp
 FROM documents
+"""
+
+
+# ------------------------------------------------------------ vocab top-k
+VOCAB_TOPK = 10
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOPK) -> DataFrame:
+    """Per-language top-k vocabulary by document-token frequency — the
+    tokenizer-training / corpus-inspection primitive. explode → one
+    map-side-combinable groupBy on (lang, token) → per-lang top-k window;
+    at 100 TB the heavy stage is the combinable count, and the window
+    only ranks the (tiny) distinct-vocab aggregate. Deterministic
+    tiebreak: (count desc, token asc)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "rank", "token", "n")
+    )
+
+
+def vocab_topk_sql(k: int = VOCAB_TOPK) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, token, count(*) AS n
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang, rank, token, n FROM (
+  SELECT lang, token, n,
+         (row_number() OVER (PARTITION BY lang ORDER BY n DESC, token))::INT
+           AS rank
+  FROM counts
+) WHERE rank <= {k}
 """

@@ -244,6 +244,71 @@ SELECT doc_id, {bits} AS simhash FROM g
 """
 
 
+# ---- SimHash Hamming-neighbor pairing ---------------------------------
+SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4  # 32 bits → 4 byte-bands; pigeonhole: distance ≤ 3
+# touches at most 3 bands, so any such pair shares ≥ 1 untouched band
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3: candidates = docs
+    sharing any of the 4 byte-bands of their 32-bit simhash (pigeonhole
+    guarantees completeness), verified by exact popcount of the XOR.
+    Bucketed equi-join — (band_idx, band_byte) is the shuffle key at
+    scale, never an all-pairs product."""
+    sh = simhash(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(_SIMHASH_BANDS)
+        ]
+    )
+    long = sh.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "bb")
+    ).persist()
+    l = long.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+        "band_idx", "bb",
+    )
+    r_ = long.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+        "band_idx", "bb",
+    )
+    return (
+        l.join(r_, ["band_idx", "bb"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sa", "sb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_pairs_sql() -> str:
+    base = simhash_sql()
+    long_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {8 * b}) & 255 AS bb FROM sh"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({base}),
+long AS ({long_union}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM long l JOIN long r USING (band_idx, bb)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 # ------------------------------------------------------------- ngram jaccard
 JACCARD_THRESHOLD = 0.3
 LEN_BUCKET = 100

@@ -161,6 +161,48 @@ def test_salvage_producer_crash_resume_identical(spark, tmp_path, monkeypatch):
     assert _crawl_state(resumed) == _crawl_state(baseline)
 
 
+def test_crawl_delay_caps_host_budget(spark, tmp_path):
+    """Opt-in Crawl-delay enforcement (RateLimitMiddleware analog):
+    epoch_time_budget_ms / crawl_delay_ms fetches per host per epoch."""
+    from spider_core_spark import schemas
+
+    sitegen.write_fixture(spark, str(tmp_path / "site"), n_pages=200, n_sites=2)
+    pages = spark.read.parquet(str(tmp_path / "site" / "pages.parquet"))
+    seeds = [
+        r["url"]
+        for r in spark.read.parquet(str(tmp_path / "site" / "seeds.parquet"))
+        .orderBy("seq")
+        .collect()
+    ]
+    robots = spark.createDataFrame(
+        [("site0.test", [], 2000, None), ("site1.test", [], 500, None)],
+        schemas.ROBOTS,
+    )
+    res = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path / "run"),
+            max_epochs=3,
+            epoch_time_budget_ms=6000,  # → 3/epoch @2000ms, 12/epoch @500ms
+        ),
+    ).run(pages, robots=robots)
+    per = res.order().groupBy("epoch", "host").count().collect()
+    caps = {"site0.test": 3, "site1.test": 12}
+    assert per and all(r["count"] <= caps[r["host"]] for r in per)
+    # and without the budget the same crawl fetches more per epoch
+    res2 = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(workdir=str(tmp_path / "run2"), max_epochs=3),
+    ).run(pages, robots=robots)
+    m1 = max(r["count"] for r in per)
+    m2 = max(
+        r["count"] for r in res2.order().groupBy("epoch", "host").count().collect()
+    )
+    assert m2 > m1
+
+
 def test_invalid_seed_raises_spider_error(spark, tmp_path):
     from spider_core_spark.errors import SpiderError
 
