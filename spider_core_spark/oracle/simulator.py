@@ -51,6 +51,10 @@ class SimConfig:
     adaptive_error_hi: float = 0.10
     adaptive_error_lo: float = 0.01
     adaptive_start_budget: int = 100
+    # Crawl-delay enforcement + per-host byte quota (same rules as the
+    # engine: plans/config.py epoch_time_budget_ms / host_bytes_quota)
+    epoch_time_budget_ms: int | None = None
+    host_bytes_quota: int | None = None
 
 
 @dataclass
@@ -117,6 +121,7 @@ def simulate(
     }
 
     adaptive: dict[str, int] = {}
+    usage_bytes: dict[str, int] = {}  # cumulative, applied from next epoch
     epoch = 0
     while epoch < cfg.max_epochs and frontier:
         eligible, not_yet = [], []
@@ -153,17 +158,25 @@ def simulate(
         taken_per_host: dict[str, int] = {}
         polite, over_budget = [], []
         for r in deduped:
-            budget = (
-                robots.get(r.host, {}).get("max_per_epoch")
-                if (cfg.use_robots and robots)
-                else None
-            ) or cfg.default_host_budget
+            rules = robots.get(r.host, {}) if (cfg.use_robots and robots) else {}
+            budget = rules.get("max_per_epoch") or cfg.default_host_budget
             if cfg.adaptive_budget:
                 budget = min(
                     budget,
                     adaptive.get(r.host, cfg.adaptive_start_budget),
                     cfg.default_host_budget,
                 )
+            if cfg.epoch_time_budget_ms is not None:
+                delay = rules.get("crawl_delay_ms")
+                if delay:
+                    budget = min(
+                        budget, max(cfg.epoch_time_budget_ms // delay, 1)
+                    )
+            if (
+                cfg.host_bytes_quota is not None
+                and usage_bytes.get(r.host, 0) >= cfg.host_bytes_quota
+            ):
+                budget = 0
             c = taken_per_host.get(r.host, 0)
             if c < budget:
                 taken_per_host[r.host] = c + 1
@@ -216,6 +229,9 @@ def simulate(
                 err_h[r.host] = err_h.get(r.host, 0) + 1
             status = page.get("status", 200)
             bytes_dl += len(page.get("html") or b"")
+            usage_bytes[r.host] = usage_bytes.get(r.host, 0) + len(
+                page.get("html") or b""
+            )
             # response middleware: RetryOnStatus analog
             if status in cfg.retry_statuses and cfg.max_retries > 0:
                 if r.retry_count < cfg.max_retries:

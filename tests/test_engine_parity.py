@@ -138,3 +138,49 @@ def test_sitegen_partition_invariance(spark):
     assert [r["url"] for r in a] == [r["url"] for r in b]
     assert [bytes(r["html"]) for r in a] == [r["html"] for r in b]
     assert [r["text"] for r in a] == [r["text"] for r in b]
+
+
+def test_crawl_delay_and_quota_parity(spark, tiny_site, tmp_path_factory):
+    """Round-2 knobs mirrored by the simulator: Crawl-delay-derived
+    budgets + per-host byte quotas produce the same per-epoch order and
+    final seen set in both implementations."""
+    rows, pages, seeds, _ = tiny_site
+    robots_rows = sitegen.gen_robots(N_SITES, SEED)
+    robots = {
+        r["host"]: {
+            "disallow": r["disallow"],
+            "max_per_epoch": r["max_per_epoch"],
+            "crawl_delay_ms": r["crawl_delay_ms"],
+        }
+        for r in robots_rows
+    }
+    kw = dict(
+        max_epochs=12,
+        max_wave_size=60,
+        default_host_budget=25,
+        epoch_time_budget_ms=2000,  # ÷ (100..500 ms delays) → budgets 4..20
+        host_bytes_quota=30_000,
+    )
+    sim = simulate(pages, seeds, robots, SimConfig(**kw))
+
+    pages_df = spark.createDataFrame(rows, schemas.PAGES)
+    robots_df = spark.createDataFrame(robots_rows, schemas.ROBOTS)
+    res = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("delay_quota")),
+            use_bloom=True,
+            n_shards=4,
+            **kw,
+        ),
+    ).run(pages_df, robots_df)
+
+    got = {}
+    for r in res.order().collect():
+        got.setdefault(int(r["epoch"]), []).append((r["wave_rank"], r["url"]))
+    got = {e: [u for _, u in sorted(v)] for e, v in got.items()}
+    assert set(got) == set(sim.orders)
+    for e in sorted(sim.orders):
+        assert got[e] == sim.orders[e], f"epoch {e} order mismatch"
+    assert {r["fingerprint"] for r in res.seen().collect()} == sim.seen
