@@ -27,7 +27,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spider_core_spark import schemas
@@ -501,23 +501,22 @@ class CrawlEngine:
             # repartition (HttpFetcher-style per-host fetch stages).
             t_parse0 = time.monotonic()
             parse_udf = parse_ops.make_parse_udf(self.spider.parse_frame)
-            rs = (
-                rs0.withColumn("parsed", parse_udf(F.col("url"), F.col("html")))
-                .drop("html", "warc_ts", "text")
-                .persist()
-            )
+            rs = rs0.withColumn(
+                "parsed", parse_udf(F.col("url"), F.col("html"))
+            ).drop("html", "warc_ts", "text")
             # SERVE-tagged rows are cache-served responses (ReturnResponse
             # analog) — counted responses_from_cache via the fused agg
             if self.middlewares:
                 rs = rs.withColumn(
                     "cached", F.col("cached") | (F.col(mw.ACTION) == mw.SERVE)
                 )
-            resp_retries = self._retry_rows(rs, epoch) if self.middlewares else None
-            cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
-            ok = cont.filter(F.col("status") <= cfg.success_max_status)
-
-            # one aggregation pass for ALL fetch-stage counters (A1/A2)
-            st_q = rs.agg(
+            # ALL fetch-stage counters (A1/A2) + timing stats (A3/A4) ride
+            # the items-write action as an Observation — no dedicated
+            # aggregation job per epoch (the observe node fills when the
+            # cache first materializes)
+            obs = Observation()
+            rs = rs.observe(
+                obs,
                 F.count("*").alias("received"),
                 F.coalesce(F.sum("fetch_bytes"), F.lit(0)).alias("bytes"),
                 F.coalesce(
@@ -549,14 +548,13 @@ class CrawlEngine:
                 F.avg("parsed.parse_ms").alias("parse_ms_avg"),
                 F.min("parsed.parse_ms").alias("parse_ms_min"),
                 F.max("parsed.parse_ms").alias("parse_ms_max"),
-            )
+            ).persist()
+            resp_retries = self._retry_rows(rs, epoch) if self.middlewares else None
+            cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
+            ok = cont.filter(F.col("status") <= cfg.success_max_status)
             stage_s["plan_build"] = stage_s.get("plan_build", 0.0) + (
                 time.monotonic() - t_build0
             )
-            with _T("fetch_agg"):
-                st = st_q.collect()[0]
-            n_miss = n_sent - int(st["received"])
-            n_ok = int(st["ok"])
 
             t_build1 = time.monotonic()
             items = self.spider.build_items(ok, epoch)
@@ -574,10 +572,18 @@ class CrawlEngine:
                     agg["total_ms"] += pst["ms"]
                     agg["items"] += pst["n_in"]
             else:
-                items_out, items_dropped, n_items = items, 0, n_ok
+                items_out, items_dropped, n_items = items, 0, None
             with _T("parse_items_write"):
+                # first action over rs: materializes the slim cache AND
+                # fills the Observation
                 store.append_epoch(items_out, "items", epoch)
             parse_ms = (time.monotonic() - t_parse0) * 1000
+            with _T("fetch_agg"):
+                st = obs.get
+            n_miss = n_sent - int(st["received"])
+            n_ok = int(st["ok"])
+            if n_items is None:
+                n_items = n_ok
 
             # ---- mark visited AFTER success (request_handler.rs:352-362)
             new_seen = ok.select(
