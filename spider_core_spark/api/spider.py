@@ -30,6 +30,10 @@ class Spider:
     # False → items carry no text column (cuts the items sink's bytes ~10×
     # when the downstream pipeline only needs metadata)
     item_text: bool = True
+    # optional SQL expression over (url, host, depth) assigning discovered
+    # requests a priority (lower = fetched sooner; seeds stay 0) — the
+    # priority-frontier hook. None = pure FIFO like the reference.
+    priority_expr: str | None = None
 
     def build_items(self, parsed: DataFrame, epoch: int) -> DataFrame:
         """Parsed rows → items DataFrame (ITEMS schema). Override for custom

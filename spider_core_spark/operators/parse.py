@@ -92,11 +92,18 @@ def apply_parse(fetched_ok: DataFrame, parse_frame=default_parse_frame) -> DataF
     return fetched_ok.withColumn("parsed", udf(F.col("url"), F.col("html")))
 
 
-def link_candidates(parsed: DataFrame, epoch: int) -> DataFrame:
+def link_candidates(
+    parsed: DataFrame, epoch: int, priority_expr: str | None = None
+) -> DataFrame:
     """Explode out-links into FRONTIER-schema candidate rows.
 
     seq = f(epoch, parent wave_rank, link position) keeps the reference's
     emission order (response_parser.rs:295-328) as a sortable column.
+
+    ``priority_expr``: optional SQL expression over (url, host, depth)
+    assigning each discovered request a priority (lower = sooner) — the
+    priority-frontier hook; the wave order is (priority, seq), so the
+    default 0 reproduces the reference's pure FIFO.
     """
     # slice to the seq packing's link_pos capacity: a >4096-out-link page
     # would otherwise bleed link_pos into the parent_rank field and corrupt
@@ -110,13 +117,25 @@ def link_candidates(parsed: DataFrame, epoch: int) -> DataFrame:
         ).alias("_pos", "_raw_url"),
     )
     norm = urlfn.normalize_url_col(F.col("_raw_url"))
-    return ex.select(
+    ex = ex.select(
         norm.alias("url"),
-        urlfn.fingerprint_col(norm).alias("fingerprint"),
         urlfn.host_col(norm).alias("host"),
-        urlfn.host_hash_col(urlfn.host_col(norm)).alias("host_hash"),
+        "depth",
+        "_parent_rank",
+        "_pos",
+    )
+    prio = (
+        F.expr(priority_expr).cast("int")
+        if priority_expr
+        else F.lit(0).cast("int")
+    )
+    return ex.select(
+        "url",
+        urlfn.fingerprint_col(F.col("url")).alias("fingerprint"),
+        "host",
+        urlfn.host_hash_col(F.col("host")).alias("host_hash"),
         F.col("depth").cast("int"),
-        F.lit(0).alias("priority").cast("int"),
+        prio.alias("priority"),
         child_seq_col(epoch, F.col("_parent_rank"), F.col("_pos")).alias("seq"),
         F.lit(0).cast("int").alias("retry_count"),
         F.lit(0).cast("int").alias("not_before_epoch"),

@@ -55,6 +55,11 @@ class SimConfig:
     # engine: plans/config.py epoch_time_budget_ms / host_bytes_quota)
     epoch_time_budget_ms: int | None = None
     host_bytes_quota: int | None = None
+    # priority frontier hook (Spider.priority_expr analog):
+    # (url, host, depth) -> int, lower = sooner; None = FIFO
+    priority_fn: object = None
+    # P3 reference drop mode (CrawlConfig.pending_cap)
+    pending_cap: int | None = None
 
 
 @dataclass
@@ -284,13 +289,19 @@ def simulate(
                 if cfg.max_depth is not None and r.depth + 1 > cfg.max_depth:
                     continue
                 fp = fingerprint_py(nu)
+                h = host_py(nu)
+                prio = (
+                    int(cfg.priority_fn(nu, h, r.depth + 1))
+                    if cfg.priority_fn is not None
+                    else 0
+                )
                 cands.append(
                     _Req(
                         nu,
                         fp,
-                        host_py(nu),
+                        h,
                         r.depth + 1,
-                        0,
+                        prio,
                         (epoch + 1) * SEQ_EPOCH_BASE
                         + rank * SEQ_PARENT_BASE
                         + pos,
@@ -306,7 +317,13 @@ def simulate(
             if c.fingerprint in seen or c.fingerprint in pending_fps:
                 continue
             fresh.setdefault(c.fingerprint, c)
-        new_rows = list(fresh.values()) + retries
+        fresh_rows = sorted(fresh.values(), key=lambda r: (r.priority, r.seq))
+        cap_dropped = 0
+        if cfg.pending_cap is not None:
+            room = max(cfg.pending_cap - len(leftover) - len(retries), 0)
+            cap_dropped = max(len(fresh_rows) - room, 0)
+            fresh_rows = fresh_rows[:room]
+        new_rows = fresh_rows + retries
         urls_deduped = len(cands) - len(fresh)
 
         # A8 adaptive feedback (same thresholds as the engine)
@@ -337,7 +354,9 @@ def simulate(
         totals["requests_succeeded"] += n_ok
         totals["requests_failed"] += n_miss + n_bad
         totals["requests_retried"] += n_retried
-        totals["requests_dropped"] += req_dropped + resp_dropped + robots_dropped
+        totals["requests_dropped"] += (
+            req_dropped + resp_dropped + robots_dropped + cap_dropped
+        )
         totals["requests_enqueued"] += len(new_rows)
         totals["responses_received"] += len(sent) - n_miss
         totals["bytes_downloaded"] += bytes_dl

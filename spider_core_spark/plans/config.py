@@ -15,6 +15,11 @@ class CrawlConfig:
     # backpressure limit (src/scheduler.rs:144,399-408). Rows beyond the cap
     # are DEFERRED to the next epoch, not dropped (documented improvement).
     max_wave_size: int = 30_000
+    # P3 reference drop mode: pending cap beyond which NEW discoveries are
+    # dropped with an error instead of deferred (src/scheduler.rs:144,
+    # 399-408 drops at 30,000 pending). None (default) keeps the deferral
+    # semantics — the documented improvement over the reference.
+    pending_cap: int | None = None
     # politeness: per-host per-epoch budget when robots has no max_per_epoch
     default_host_budget: int = 1_000_000
     # opt-in Crawl-delay enforcement: treat one epoch as this much per-host

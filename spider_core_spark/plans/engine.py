@@ -40,6 +40,7 @@ from spider_core_spark.operators import dedup as dedup_ops
 from spider_core_spark.operators import frontier as frontier_ops
 from spider_core_spark.operators import parse as parse_ops
 from spider_core_spark.operators import quota as quota_ops
+from spider_core_spark.operators import rank as rk
 from spider_core_spark.plans.checkpoint import CheckpointStore
 from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.sources.fetcher import JoinFetcher, salt_repartition
@@ -607,7 +608,9 @@ class CrawlEngine:
                 # requests are not enqueued during the shutdown epoch
                 cands = spark.createDataFrame([], schemas.FRONTIER)
             else:
-                cands = parse_ops.link_candidates(ok, epoch)
+                cands = parse_ops.link_candidates(
+                    ok, epoch, self.spider.priority_expr
+                )
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)
             retries = [r for r in (req_retries, resp_retries) if r is not None]
@@ -638,6 +641,27 @@ class CrawlEngine:
                 .filter("_rn = 1")
                 .drop("_rn")
             )
+
+            if cfg.pending_cap is not None:
+                # P3 reference drop mode (src/scheduler.rs:144,399-408):
+                # enqueues beyond the pending cap are DROPPED with an
+                # error, not deferred. Capacity left = cap − (deferred
+                # pending + retries); candidates are admitted in
+                # (priority, seq) order, the reference's enqueue order.
+                n_pending = sel.leftover.count() + sum(
+                    r.count() for r in retries
+                )
+                room = max(cfg.pending_cap - n_pending, 0)
+                ranked_c, n_c = rk.with_global_rank(
+                    cands, ["priority", "seq"], "_cap_rank"
+                )
+                cands = ranked_c.filter(F.col("_cap_rank") < room).drop(
+                    "_cap_rank"
+                )
+                n_cap_dropped = max(n_c - room, 0)
+                totals["requests_dropped"] += n_cap_dropped
+            else:
+                n_cap_dropped = 0
 
             frontier_next = sel.leftover.select(*_FCOLS).unionByName(
                 cands.select(*_FCOLS)

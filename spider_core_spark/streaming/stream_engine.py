@@ -187,7 +187,9 @@ class StreamingCrawlEngine:
         # discovered links + retries → enqueue-dedup → feed back
         # (wave_rank from select_wave is bounded by the wave size, so the
         # child seq packing's parent-rank field can't overflow)
-        cands = parse_ops.link_candidates(ok, epoch=int(batch_id))
+        cands = parse_ops.link_candidates(
+            ok, epoch=int(batch_id), priority_expr=self.spider.priority_expr
+        )
         if cfg.max_depth is not None:
             cands = cands.filter(F.col("depth") <= cfg.max_depth)
         fresh = (

@@ -184,3 +184,50 @@ def test_crawl_delay_and_quota_parity(spark, tiny_site, tmp_path_factory):
     for e in sorted(sim.orders):
         assert got[e] == sim.orders[e], f"epoch {e} order mismatch"
     assert {r["fingerprint"] for r in res.seen().collect()} == sim.seen
+
+
+def test_priority_and_pending_cap_parity(spark, tiny_site, tmp_path_factory):
+    """Priority-frontier hook + P3 reference drop mode: depth-based
+    priorities reorder the waves and the pending cap drops overflow in
+    (priority, seq) order — identically in engine and simulator."""
+    rows, pages, seeds, robots = tiny_site
+    kw = dict(max_epochs=15, max_wave_size=40, default_host_budget=25)
+    sim = simulate(
+        pages,
+        seeds,
+        robots,
+        SimConfig(
+            pending_cap=120,
+            priority_fn=lambda url, host, depth: depth % 3,
+            **kw,
+        ),
+    )
+    pages_df = spark.createDataFrame(rows, schemas.PAGES)
+    robots_df = spark.createDataFrame(
+        sitegen.gen_robots(N_SITES, SEED), schemas.ROBOTS
+    )
+    res = CrawlEngine(
+        spark,
+        Spider(
+            start_urls=seeds,
+            priority_expr="cast(pmod(depth, 3) as int)",
+        ),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("prio_cap")),
+            pending_cap=120,
+            use_bloom=True,
+            n_shards=4,
+            **kw,
+        ),
+    ).run(pages_df, robots_df)
+
+    got = {}
+    for r in res.order().collect():
+        got.setdefault(int(r["epoch"]), []).append((r["wave_rank"], r["url"]))
+    got = {e: [u for _, u in sorted(v)] for e, v in got.items()}
+    assert set(got) == set(sim.orders)
+    for e in sorted(sim.orders):
+        assert got[e] == sim.orders[e], f"epoch {e} order mismatch"
+    assert {r["fingerprint"] for r in res.seen().collect()} == sim.seen
+    assert res.totals["requests_dropped"] == sim.totals["requests_dropped"]
+    assert res.totals["requests_dropped"] > 0  # the cap actually bit
