@@ -6,10 +6,12 @@ SURVEY.md §2 plus the training-data ops (dedup / similarity / analysis);
 the driver compares each Spark result against the DuckDB oracle at
 sf=0.01 (row count + schema + order-insensitive value hash).
 
-Non-SQL-expressible ops (crawl loop itself, bloom shards, checkpoint,
-multimodal mapInPandas stages) are verified by the pytest suite against
-the pure-Python simulator (tests/test_engine_parity.py etc.); two of
-them are additionally exposed here as rows-only checks.
+Every registered query has a full DuckDB oracle (including the
+multimodal mapInPandas stages, whose checked outputs are exact
+ints/strings regenerable from range()). The crawl loop itself — bloom
+shards, checkpoint/resume, salvage, politeness, quotas — is verified by
+the pytest suite against the pure-Python simulator
+(tests/test_engine_parity.py etc.).
 """
 
 from __future__ import annotations

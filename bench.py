@@ -67,6 +67,7 @@ def run_queries(spark) -> dict[str, float]:
         "dedup_minhash_bands": td.minhash_bands,
         "dedup_minhash_pairs": td.minhash_pairs,
         "dedup_simhash": td.simhash,
+        "dedup_simhash_pairs": td.simhash_pairs,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
         "dedup_embedding_cosine": td.embedding_neardup,
         "dedup_embedding_ivf": td.embedding_ivf_neardup,
@@ -76,6 +77,7 @@ def run_queries(spark) -> dict[str, float]:
         "text_quality": ta.quality_score,
         "text_tokens": ta.token_counts,
         "text_fingerprint": ta.doc_fingerprint,
+        "text_vocab_topk": ta.vocab_topk,
     }
     out = {}
     for name, fn in suite.items():
