@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_response_drop": dq.p5_response_drop,
         "s2_host_extract": dq.s2_host_extract,
         "s5_byte_format": dq.s5_byte_format,
+        "s7_robots_parse": dq.s7_robots_parse,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
@@ -84,12 +85,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
+        "ann_ivf_topk": ts.ann_ivf_topk,
         # text analysis
         "text_langid": ta.lang_id,
         "text_quality": ta.quality_score,
         "text_tokens": ta.token_counts,
         "text_fingerprint": ta.doc_fingerprint,
         "text_vocab_topk": ta.vocab_topk,
+        "text_corpus_keepers": ta.corpus_keepers,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -119,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "p5_response_drop": dq.P5_SQL,
         "s2_host_extract": dq.S2_SQL,
         "s5_byte_format": dq.S5_SQL,
+        "s7_robots_parse": dq.S7_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
@@ -137,11 +141,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
+        "ann_ivf_topk": ts.ANN_IVF_SQL,
         "text_langid": ta.lang_id_sql(),
         "text_quality": ta.quality_score_sql(),
         "text_tokens": ta.TOKEN_COUNTS_SQL,
         "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
         "text_vocab_topk": ta.vocab_topk_sql(),
+        "text_corpus_keepers": ta.corpus_keepers_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

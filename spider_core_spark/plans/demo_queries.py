@@ -348,6 +348,69 @@ FROM (
 """
 
 
+# --- S7: robots.txt parsing (sources/robots.py through the driver gate) ------
+# the Spark side RUNS the real parser on bodies generated from nation
+# rows; the oracle derives the expected rules analytically from the same
+# keys — an independent derivation, not a second parser implementation
+def s7_robots_parse(spark, sf_dir):
+    from spider_core_spark.sources.robots import parse_robots
+
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    host = F.concat(
+        F.lower(F.regexp_replace("n_name", " ", "-")), F.lit(".test")
+    )
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /secret\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /p/"), key.cast("string"), F.lit("\n"),
+        F.lit("Disallow: /tmp/   # scratch\n"),
+        F.when(
+            key % 2 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (key % 5 + 1).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit("max-per-epoch: "), (key + 1).cast("string"), F.lit("\n")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots_docs = n.select(
+        F.concat(F.lit("https://"), host, F.lit("/robots.txt")).alias("url"),
+        body.alias("text"),
+    )
+    rules = parse_robots(robots_docs)
+    # hosts without a directive get -1 sentinels (NULL-mixed columns break
+    # order-insensitive canonicalization)
+    return rules.select(
+        "host",
+        F.concat_ws("|", "disallow").alias("disallow_str"),
+        F.coalesce("crawl_delay_ms", F.lit(-1)).cast("int").alias(
+            "crawl_delay_ms"
+        ),
+        F.coalesce("max_per_epoch", F.lit(-1)).cast("int").alias(
+            "max_per_epoch"
+        ),
+    )
+
+
+S7_SQL = """
+SELECT lower(replace(n_name, ' ', '-')) || '.test' AS host,
+       '/p/' || n_nationkey || '|/tmp/' AS disallow_str,
+       (CASE WHEN n_nationkey % 2 = 0
+             THEN (n_nationkey % 5 + 1) * 1000 ELSE -1 END)::INT
+         AS crawl_delay_ms,
+       (CASE WHEN n_nationkey % 3 = 0
+             THEN n_nationkey + 1 ELSE -1 END)::INT AS max_per_epoch
+FROM nation
+"""
+
+
 # --- A1: counter aggregates --------------------------------------------------
 def a1_counters(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")

@@ -198,3 +198,36 @@ SELECT lang, rank, token, n FROM (
   FROM counts
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------- corpus-clean pipeline
+QUALITY_KEEP_MIN = 0.35
+
+
+def corpus_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in one query: exact
+    dedup keepers (min doc_id per content hash) ∩ quality ≥ threshold —
+    the shape of a real corpus-prep job (dedup → filter → select)."""
+    from spider_core_spark.textops.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir)
+    keepers = exact_dedup(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        d.join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_KEEP_MIN)
+        .select("doc_id", "lang", "n_chars", "quality_score")
+    )
+
+
+def corpus_keepers_sql() -> str:
+    return f"""
+WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+q AS (SELECT doc_id, quality_score FROM ({quality_score_sql()}))
+SELECT d.doc_id, d.lang, d.n_chars, q.quality_score
+FROM documents d JOIN k USING (doc_id) JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality_score >= {QUALITY_KEEP_MIN}
+"""

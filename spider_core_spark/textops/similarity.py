@@ -147,3 +147,77 @@ SELECT query_id, vec_id AS neighbor_id, cos,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------------------- IVF
+IVF_K_ANN = 8  # seed centroids (first K vectors)
+NPROBE = 2     # cells probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus vectors assigned to their nearest of IVF_K_ANN seed
+    centroids (6-dp rounded cosine, centroid-id tiebreak); each query
+    probes its NPROBE nearest cells and ranks candidates by exact cosine.
+    At 100 TB the cell id partitions the corpus — a query touches only
+    nprobe/K of the data; the centroid table broadcasts."""
+    e = _emb(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < IVF_K_ANN).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored_cells = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cc", _cos(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cid")
+    ranked = scored_cells.withColumn("crank", F.row_number().over(w))
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    scored = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _cos(F.col("qv"), F.col("v")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K_ANN}),
+sc AS (
+  SELECT e.vec_id, e.v, c.cid,
+         round(list_sum([e.v[i] * c.cv[i] for i in range(1, len(e.v) + 1)]) /
+               (sqrt(list_sum([x * x for x in e.v])) *
+                sqrt(list_sum([x * x for x in c.cv]))), 6) AS cc
+  FROM e CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cc DESC, cid) AS crank
+  FROM sc
+),
+cells AS (SELECT vec_id, v, cid FROM ranked WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, cells.vec_id,
+         round(list_sum([p.qv[i] * cells.v[i]
+                         for i in range(1, len(cells.v) + 1)]) /
+               (sqrt(list_sum([x * x for x in p.qv])) *
+                sqrt(list_sum([x * x for x in cells.v]))), 6) AS cos
+  FROM cells JOIN probes p USING (cid)
+  WHERE cells.vec_id <> p.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, cos,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""
