@@ -73,7 +73,18 @@ def main() -> None:
         out = StreamingCrawlEngine(spark, spider, cfg).run(pages, robots=robots)
         print(json.dumps({"mode": "streaming", "seen": out["seen"].count()}))
     else:
-        res = CrawlEngine(spark, spider, cfg).run(
+        import signal
+
+        eng = CrawlEngine(spark, spider, cfg)
+
+        def _graceful(_sig, _frm):
+            # reference Ctrl-C path (src/crawler/core.rs:260-263): finish
+            # the in-flight epoch, commit, write the final checkpoint
+            print("SIGINT: finishing current epoch then stopping", flush=True)
+            eng.request_stop()
+
+        signal.signal(signal.SIGINT, _graceful)
+        res = eng.run(
             pages, robots=robots, resume=args.resume, seeds_df=seeds_df
         )
         # SNK3: print the stats report at crawl end (reference

@@ -156,6 +156,13 @@ class CrawlEngine:
     # reference's feature-gated cookie_store, src/checkpoint.rs:88-91)
     cookie_store: dict | None = None
 
+    def request_stop(self) -> None:
+        """Graceful shutdown (reference Ctrl-C path,
+        src/crawler/core.rs:260-263): finish the current epoch, commit it,
+        write the final checkpoint, stop. Safe to call from a signal
+        handler or another thread."""
+        self._stop_requested = True
+
     def __post_init__(self):
         cfg = self.config
         if cfg.max_retries > 0:
@@ -416,6 +423,7 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=8)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
+        last_manifest: dict | None = None  # pending (uncommitted) manifest
         while epoch < cfg.max_epochs:
             t0 = time.monotonic()
             with _T("seen_read"):
@@ -926,25 +934,35 @@ class CrawlEngine:
                 with _T("metrics_write"):
                     _commit_metrics(n_enq)
 
-            # manifest commit = the epoch becomes the resume point
-            with _T("manifest"):
-                pass
-            store.write_manifest(
-                    {
-                        "last_epoch": epoch,
-                        "totals": totals,
-                        "cookie_store": self.cookie_store,
-                        "pipeline_totals": pipeline_totals,
-                        "pipeline_states": {
-                            p.name: p.get_state()
-                            for p in self.pipelines
-                            if p.get_state() is not None
-                        },
-                        "config": {"max_epochs": cfg.max_epochs},
-                    }
-                )
+            def _manifest_dict() -> dict:
+                return {
+                    "last_epoch": epoch,
+                    "totals": dict(totals),
+                    "cookie_store": self.cookie_store,
+                    "pipeline_totals": pipeline_totals,
+                    "pipeline_states": {
+                        p.name: p.get_state()
+                        for p in self.pipelines
+                        if p.get_state() is not None
+                    },
+                    "config": {"max_epochs": cfg.max_epochs},
+                }
+
+            # manifest commit = the epoch becomes the resume point. The
+            # reference checkpoints on a periodic timer plus a final
+            # snapshot (src/crawler/core.rs:212-258, :332-357);
+            # checkpoint_every=k commits every k-th epoch (a skipped epoch
+            # is deterministically re-run on resume — the kill/resume
+            # parity tests prove replay identity) and the loop exit always
+            # commits. Salvage dirs are only cleared up to a COMMITTED
+            # manifest epoch (an uncommitted epoch's salvage must survive
+            # for the resume merge).
+            last_manifest = _manifest_dict()
+            if cfg.checkpoint_every <= 1 or (epoch + 1) % cfg.checkpoint_every == 0:
+                store.write_manifest(last_manifest)
+                store.clear_salvage_upto(epoch)
+                last_manifest = None
             last_epoch_done = epoch
-            store.clear_salvage_upto(epoch)
             for df in (wave, rq, rs):
                 if df is not None:
                     df.unpersist()
@@ -954,6 +972,14 @@ class CrawlEngine:
                       flush=True)
                 stage_s.clear()
             epoch += 1
+            if getattr(self, "_stop_requested", False):
+                break  # graceful stop: epoch committed, exit the loop
+
+        # final checkpoint (reference src/crawler/core.rs:332-357): if the
+        # periodic cadence skipped the last epoch, commit it now
+        if last_epoch_done >= epoch0 and last_manifest is not None:
+            store.write_manifest(last_manifest)
+            store.clear_salvage_upto(last_epoch_done)
 
         pool.shutdown(wait=True)
         for p in self.pipelines:

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spider_core_spark import schemas
+from spider_core_spark.api.pipeline import Pipeline
 from spider_core_spark.api.spider import Spider
 from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.plans.engine import CrawlEngine
@@ -113,3 +114,76 @@ def test_cookie_store_roundtrips_manifest(spark, site, tmp_path_factory):
     )
     eng2.run(pages, resume=True)
     assert eng2.cookie_store == {"session": "abc123", "domain": "site0.test"}
+
+
+def test_periodic_checkpoint_every_and_final(spark, site, tmp_path_factory):
+    """checkpoint_every=k commits the manifest every k-th epoch plus a
+    final one; a resume from the periodic cadence replays the uncommitted
+    epochs to the identical final state."""
+    import json as _json
+    import os
+
+    pages_df, seeds = site
+
+    def run(wd, max_epochs, every, resume=False):
+        cfg = CrawlConfig(
+            workdir=wd, max_epochs=max_epochs, max_wave_size=40,
+            default_host_budget=10**9, use_robots=False, n_shards=4,
+            checkpoint_every=every,
+        )
+        return CrawlEngine(spark, Spider(start_urls=seeds), cfg).run(
+            pages_df, resume=resume
+        )
+
+    wd = str(tmp_path_factory.mktemp("periodic"))
+    res = run(wd, max_epochs=5, every=3)
+    with open(os.path.join(wd, "manifest.json")) as f:
+        manifest = _json.load(f)
+    # final checkpoint covers the last epoch even off-cadence
+    assert manifest["last_epoch"] == res.epochs_run - 1
+
+    base = run(str(tmp_path_factory.mktemp("base")), max_epochs=8, every=1)
+    resumed = run(wd, max_epochs=8, every=3, resume=True)
+    assert _snapshot(resumed) == _snapshot(base)
+
+
+def test_graceful_stop_commits_and_resumes(spark, site, tmp_path_factory):
+    """request_stop() (the Ctrl-C path): the in-flight epoch commits, the
+    run ends early, and a resume completes to the uninterrupted state."""
+    pages_df, seeds = site
+    wd = str(tmp_path_factory.mktemp("graceful"))
+    cfg = CrawlConfig(
+        workdir=wd, max_epochs=8, max_wave_size=40,
+        default_host_budget=10**9, use_robots=False, n_shards=4,
+    )
+
+    class StopAfterEpoch1(Pipeline):
+        name = "stopper"
+
+        def __init__(self, eng_ref):
+            self.eng_ref = eng_ref
+
+        def process(self, items, epoch):
+            if epoch >= 1:
+                self.eng_ref["eng"].request_stop()
+            return items
+
+    ref = {}
+    eng = CrawlEngine(
+        spark, Spider(start_urls=seeds), cfg,
+        pipelines=[StopAfterEpoch1(ref)],
+    )
+    ref["eng"] = eng
+    res = eng.run(pages_df)
+    assert res.epochs_run == 2  # stopped after committing epoch 1
+
+    base = _run(spark, site, str(tmp_path_factory.mktemp("gbase")), 8)
+    resumed = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=wd, max_epochs=8, max_wave_size=40,
+            default_host_budget=10**9, use_robots=False, n_shards=4,
+        ),
+    ).run(pages_df, resume=True)
+    assert _snapshot(resumed) == _snapshot(base)
