@@ -77,11 +77,21 @@ SHINGLE = 3
 _SHAS_PER_SHINGLE = 2  # ceil(K_HASHES / 4 words per digest)
 
 
-def _shingles_spark() -> str:
-    t = TOKENS_SPARK
+def _shingles_spark(tokens: str = TOKENS_SPARK) -> str:
+    # NOTE: pass a staged tokens COLUMN (not the split() expression) in hot
+    # paths — an expression inside the lambda is re-evaluated per element,
+    # i.e. the text would be re-tokenized once per shingle (~300× per row)
     return (
-        f"transform(sequence(0, greatest(size({t}) - {SHINGLE}, 0)), "
-        f"i -> concat_ws(' ', slice({t}, i + 1, {SHINGLE})))"
+        f"transform(sequence(0, greatest(size({tokens}) - {SHINGLE}, 0)), "
+        f"i -> concat_ws(' ', slice({tokens}, i + 1, {SHINGLE})))"
+    )
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """documents with tokens staged as a column (evaluated once per row;
+    the multi-reference non-cheap alias survives CollapseProject)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", *extra, F.expr(TOKENS_SPARK).alias("_toks")
     )
 
 
@@ -93,13 +103,13 @@ def _shingles_duck() -> str:
     )
 
 
-def _shas_spark() -> str:
+def _shas_spark(tokens: str = "_toks") -> str:
     """Per-shingle concat of the 2 seeded digests (128 hex chars) — computed
     ONCE per shingle; the 8 signature mins below are substring slices of it."""
     shas = " , ".join(
         f"sha2(concat('{s}:', x), 256)" for s in range(_SHAS_PER_SHINGLE)
     )
-    return f"transform({_shingles_spark()}, x -> concat({shas}))"
+    return f"transform({_shingles_spark(tokens)}, x -> concat({shas}))"
 
 
 def _shas_duck() -> str:
@@ -129,8 +139,8 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha pass lives in the `_shas` projection, evaluated once per row —
     Catalyst keeps the two Projects separate (CollapseProject refuses to
     duplicate non-cheap aliases used more than once)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(_shas_spark()).alias("_shas")
+    d = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.expr(_shas_spark("_toks")).alias("_shas")
     )
     sigs = minhash_sig_exprs_spark("_shas")
     r = K_HASHES // N_BANDS
@@ -331,28 +341,37 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       by the threshold filter);
     - the bucket key uses explicit floor division (identical in both
       engines). The blocking join stays (lang, len-bucket) keyed."""
-    d = _docs(spark, sf_dir).select(
+    d = _docs_tokens(spark, sf_dir, "lang", "n_chars").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
         F.array_distinct(
             F.expr(
-                f"transform({_shingles_spark()}, x -> {_h64_spark('x', 7)})"
+                f"transform({_shingles_spark('_toks')}, "
+                f"x -> {_h64_spark('x', 7)})"
             )
         ).alias("sh"),
     ).withColumn("nsh", F.size("sh")).persist()
+    # salt the block key (output-preserving): with ~30 (lang, lb) blocks
+    # the intersect work lands on ~30 key-groups regardless of executor
+    # count — salting the left side by pmod(doc_id, S) and replicating the
+    # right side S× spreads each block across S tasks (each pair still
+    # meets exactly once, in the left row's salt slot)
+    S = 8
     l = d.select(
         F.col("doc_id").alias("a"), "lang", "lb",
         F.col("sh").alias("sha"), F.col("nsh").alias("na"),
+        F.pmod("doc_id", F.lit(S)).cast("int").alias("_salt"),
     )
     r = d.select(
         F.col("doc_id").alias("b"), "lang", "lb",
         F.col("sh").alias("shb"), F.col("nsh").alias("nb"),
+        F.explode(F.array(*[F.lit(i) for i in range(S)])).alias("_salt"),
     )
     # J >= 0.3 ⇒ min/max >= 0.3 ⇔ 10·min >= 3·max (exact integer test)
     ratio_ok = F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 3
     return (
-        l.join(r, ["lang", "lb"])
+        l.join(r, ["lang", "lb", "_salt"])
         .filter((F.col("a") < F.col("b")) & ratio_ok)
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
