@@ -565,7 +565,6 @@ class CrawlEngine:
                 time.monotonic() - t_build0
             )
 
-            t_build1 = time.monotonic()
             items = self.spider.build_items(ok, epoch)
             if self.pipelines:
                 items_out, items_dropped, pstats = run_pipelines(
@@ -593,6 +592,7 @@ class CrawlEngine:
             n_ok = int(st["ok"])
             if n_items is None:
                 n_items = n_ok
+            t_build1 = time.monotonic()
 
             # ---- mark visited AFTER success (request_handler.rs:352-362)
             new_seen = ok.select(
