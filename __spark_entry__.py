@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_host_extract": dq.s2_host_extract,
         "s5_byte_format": dq.s5_byte_format,
         "s7_robots_parse": dq.s7_robots_parse,
+        "s8_url_canonicalize": dq.s8_url_canonicalize,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_host_extract": dq.S2_SQL,
         "s5_byte_format": dq.S5_SQL,
         "s7_robots_parse": dq.S7_SQL,
+        "s8_url_canonicalize": dq.S8_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,

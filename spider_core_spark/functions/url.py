@@ -51,10 +51,56 @@ def path_col(url: Column) -> Column:
     return F.substring_index(F.substring_index(no_scheme, "#", 1), "?", 1)
 
 
-def with_url_columns(df, url_col_name: str = "url"):
+_SPLIT_RE_SQL = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def canonicalize_url_col(url: Column) -> Column:
+    """Full canonicalization (opt-in via CrawlConfig.canonicalize_urls):
+    fragment strip + lowercase scheme and host + strip default ports
+    (http:80 / https:443) + strip a bare trailing root slash. Exactly
+    mirrored by canonicalize_url_py, so fingerprints agree by
+    construction. URLs without a scheme://authority shape pass through
+    fragment-strip only (they fail seed validation / link resolution
+    anyway)."""
+    u = normalize_url_col(url)
+    scheme = F.lower(F.regexp_extract(u, _SPLIT_RE_SQL, 1))
+    auth = F.lower(F.regexp_extract(u, _SPLIT_RE_SQL, 2))
+    rest = F.regexp_extract(u, _SPLIT_RE_SQL, 3)
+    auth = (
+        F.when(
+            ((scheme == "http") & auth.endswith(":80"))
+            | ((scheme == "https") & auth.endswith(":443")),
+            F.substring_index(auth, ":", 1),
+        )
+        .otherwise(auth)
+    )
+    rest = F.when(rest == "/", F.lit("")).otherwise(rest)
+    canon = F.concat(scheme, F.lit("://"), auth, rest)
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Pure-Python twin of canonicalize_url_col."""
+    u = normalize_url_py(url)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)(.*)$", u)
+    if not m:
+        return u
+    scheme = m.group(1).lower()
+    auth = m.group(2).lower()
+    rest = m.group(3)
+    if (scheme == "http" and auth.endswith(":80")) or (
+        scheme == "https" and auth.endswith(":443")
+    ):
+        auth = auth.split(":", 1)[0]
+    if rest == "/":
+        rest = ""
+    return f"{scheme}://{auth}{rest}"
+
+
+def with_url_columns(df, url_col_name: str = "url", canonicalize: bool = False):
     """Attach normalized url, fingerprint, host, host_hash columns."""
     u = F.col(url_col_name)
-    norm = normalize_url_col(u)
+    norm = canonicalize_url_col(u) if canonicalize else normalize_url_col(u)
     return (
         df.withColumn(url_col_name, norm)
         .withColumn("fingerprint", fingerprint_col(norm))

@@ -93,7 +93,10 @@ def apply_parse(fetched_ok: DataFrame, parse_frame=default_parse_frame) -> DataF
 
 
 def link_candidates(
-    parsed: DataFrame, epoch: int, priority_expr: str | None = None
+    parsed: DataFrame,
+    epoch: int,
+    priority_expr: str | None = None,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """Explode out-links into FRONTIER-schema candidate rows.
 
@@ -116,7 +119,11 @@ def link_candidates(
             F.slice(F.col("parsed.links"), 1, frontier_mod.MAX_LINKS_PER_PAGE)
         ).alias("_pos", "_raw_url"),
     )
-    norm = urlfn.normalize_url_col(F.col("_raw_url"))
+    norm = (
+        urlfn.canonicalize_url_col(F.col("_raw_url"))
+        if canonicalize
+        else urlfn.normalize_url_col(F.col("_raw_url"))
+    )
     ex = ex.select(
         norm.alias("url"),
         urlfn.host_col(norm).alias("host"),

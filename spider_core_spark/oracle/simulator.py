@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 from spider_core_spark.functions.textextract import extract, resolve_link
 from spider_core_spark.functions.url import (
+    canonicalize_url_py,
     fingerprint_py,
     host_py,
     normalize_url_py,
@@ -60,6 +61,8 @@ class SimConfig:
     priority_fn: object = None
     # P3 reference drop mode (CrawlConfig.pending_cap)
     pending_cap: int | None = None
+    # full URL canonicalization (CrawlConfig.canonicalize_urls)
+    canonicalize_urls: bool = False
 
 
 @dataclass
@@ -100,8 +103,9 @@ def simulate(
     # --- seed injection: list order, fragment stripped, intra-batch dedup
     frontier: list[_Req] = []
     seeded = set()
+    _norm = canonicalize_url_py if cfg.canonicalize_urls else normalize_url_py
     for i, u in enumerate(seeds):
-        nu = normalize_url_py(u)
+        nu = _norm(u)
         fp = fingerprint_py(nu)
         if fp in seeded:
             continue
@@ -285,7 +289,7 @@ def simulate(
         cands: list[_Req] = []
         for rank, r, title, text, links, lang in parsed_rows:
             for pos, raw in enumerate(links):
-                nu = normalize_url_py(raw)
+                nu = _norm(raw)
                 if cfg.max_depth is not None and r.depth + 1 > cfg.max_depth:
                     continue
                 fp = fingerprint_py(nu)

@@ -101,6 +101,12 @@ class CrawlConfig:
     # success, src/crawler/request_handler.rs:352-362)
     success_max_status: int = 399
 
+    # full URL canonicalization beyond the reference's fragment strip
+    # (lowercase scheme/host, default-port strip, bare root-slash strip) —
+    # opt-in because it changes fingerprints vs the reference semantics;
+    # exactly mirrored by the simulator (functions/url.canonicalize_url_py)
+    canonicalize_urls: bool = False
+
     # S1: reject unparseable seed URLs with SpiderError at injection time
     # (reference Url::parse err → SpiderError, src/spider.rs:118-120);
     # discovered links are still filtered silently (resolve_link)

@@ -348,6 +348,52 @@ FROM (
 """
 
 
+# --- S8: full URL canonicalization (opt-in normalizer, driver-checked) -------
+# the Spark side RUNS canonicalize_url_col on synthesized messy URLs; the
+# oracle states the expected canonical form analytically
+def s8_url_canonicalize(spark, sf_dir):
+    from spider_core_spark.functions.url import canonicalize_url_col
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    raw = (
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("HTTP://WWW.Site"), k, F.lit(".test:80/a/b#frag")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(F.lit("https://Site"), k, F.lit(".test:443/")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.lit("https://site"), k, F.lit(".test:8443/x?q=1")),
+        )
+        .otherwise(F.concat(F.lit("http://site"), k, F.lit(".test/path/")))
+    )
+    return c.select(
+        "c_custkey",
+        raw.alias("raw_url"),
+        canonicalize_url_col(raw).alias("canon_url"),
+    )
+
+
+S8_SQL = """
+SELECT c_custkey,
+       CASE c_custkey % 4
+         WHEN 0 THEN 'HTTP://WWW.Site' || c_custkey || '.test:80/a/b#frag'
+         WHEN 1 THEN 'https://Site' || c_custkey || '.test:443/'
+         WHEN 2 THEN 'https://site' || c_custkey || '.test:8443/x?q=1'
+         ELSE 'http://site' || c_custkey || '.test/path/' END AS raw_url,
+       CASE c_custkey % 4
+         WHEN 0 THEN 'http://www.site' || c_custkey || '.test/a/b'
+         WHEN 1 THEN 'https://site' || c_custkey || '.test'
+         WHEN 2 THEN 'https://site' || c_custkey || '.test:8443/x?q=1'
+         ELSE 'http://site' || c_custkey || '.test/path/' END AS canon_url
+FROM customer
+"""
+
+
 # --- S7: robots.txt parsing (sources/robots.py through the driver gate) ------
 # the Spark side RUNS the real parser on bodies generated from nation
 # rows; the oracle derives the expected rules analytically from the same

@@ -186,7 +186,9 @@ class CrawlEngine:
         else:
             rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
             seeds = self.spark.createDataFrame(rows, "url string, seq long")
-        df = urlfn.with_url_columns(seeds).select(
+        df = urlfn.with_url_columns(
+            seeds, canonicalize=self.config.canonicalize_urls
+        ).select(
             "url",
             "fingerprint",
             "host",
@@ -617,7 +619,10 @@ class CrawlEngine:
                 cands = spark.createDataFrame([], schemas.FRONTIER)
             else:
                 cands = parse_ops.link_candidates(
-                    ok, epoch, self.spider.priority_expr
+                    ok,
+                    epoch,
+                    self.spider.priority_expr,
+                    canonicalize=cfg.canonicalize_urls,
                 )
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)

@@ -188,7 +188,10 @@ class StreamingCrawlEngine:
         # (wave_rank from select_wave is bounded by the wave size, so the
         # child seq packing's parent-rank field can't overflow)
         cands = parse_ops.link_candidates(
-            ok, epoch=int(batch_id), priority_expr=self.spider.priority_expr
+            ok,
+            epoch=int(batch_id),
+            priority_expr=self.spider.priority_expr,
+            canonicalize=cfg.canonicalize_urls,
         )
         if cfg.max_depth is not None:
             cands = cands.filter(F.col("depth") <= cfg.max_depth)
@@ -247,7 +250,8 @@ class StreamingCrawlEngine:
         # seed injection (same normalization as the BSP engine)
         rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
         seeds = urlfn.with_url_columns(
-            spark.createDataFrame(rows, "url string, seq long")
+            spark.createDataFrame(rows, "url string, seq long"),
+            canonicalize=cfg.canonicalize_urls,
         ).select(
             "url", "fingerprint", "host", "host_hash",
             F.lit(0).cast("int").alias("depth"),

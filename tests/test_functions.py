@@ -72,3 +72,66 @@ def test_resolve_link():
     assert resolve_link("https://a.test/p/1", "https://b.test/z") == "https://b.test/z"
     assert resolve_link("https://a.test/p/1", "mailto:x@y") is None
     assert resolve_link("https://a.test/p/1", "rel/path") is None
+
+
+def test_canonicalize_url_three_way_parity(spark):
+    """canonicalize_url_col ≡ canonicalize_url_py on tricky shapes."""
+    from pyspark.sql import functions as F
+
+    from spider_core_spark.functions.url import (
+        canonicalize_url_col,
+        canonicalize_url_py,
+    )
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/a/b#frag",
+        "https://Example.com:443/",
+        "https://example.com:8443/x?q=1#y",
+        "http://example.com/path/",
+        "http://example.com/",
+        "http://example.com",
+        "http://example.com:8080/",
+        "ftp://Mixed.Case/z",
+        "no scheme at all",
+        "http://example.com:80",  # port strip, no path
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select(
+            "url", canonicalize_url_col(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == canonicalize_url_py(u), (u, got[u], canonicalize_url_py(u))
+    # spot expectations
+    assert got["HTTP://WWW.Example.COM:80/a/b#frag"] == "http://www.example.com/a/b"
+    assert got["https://Example.com:443/"] == "https://example.com"
+    assert got["http://example.com:8080/"] == "http://example.com:8080"
+    assert got["no scheme at all"] == "no scheme at all"
+
+
+def test_engine_sim_parity_with_canonicalization(spark, tmp_path):
+    """canonicalize_urls=True flows through engine and simulator alike
+    (sitegen links are already canonical, so outputs must be unchanged
+    AND still identical between the implementations)."""
+    from spider_core_spark import CrawlConfig, CrawlEngine, Spider, schemas
+    from spider_core_spark.oracle.simulator import SimConfig, simulate
+    from spider_core_spark.sources import sitegen
+
+    rows = sitegen.gen_pages_rows(range(100), 100, 3, 7)
+    pages = {r["url"]: {"status": r["status"], "html": r["html"], "lang": r["lang"]} for r in rows}
+    seeds = [s["url"] for s in sitegen.gen_seeds(3)]
+    sim = simulate(
+        pages, seeds, None,
+        SimConfig(max_epochs=6, use_robots=False, canonicalize_urls=True),
+    )
+    res = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path / "canon"), max_epochs=6,
+            use_robots=False, canonicalize_urls=True,
+        ),
+    ).run(spark.createDataFrame(rows, schemas.PAGES))
+    assert {r["fingerprint"] for r in res.seen().collect()} == sim.seen
