@@ -49,38 +49,13 @@ def timed(fn) -> float:
 
 
 def run_queries(spark) -> dict[str, float]:
-    """Headline operator suite at SF_DIR (noop sink forces full compute)."""
-    from spider_core_spark.plans import demo_queries as dq
-    from spider_core_spark.textops import analysis as ta
-    from spider_core_spark.textops import dedup as td
-    from spider_core_spark.textops import similarity as ts
+    """The FULL registered suite (every CORRECTNESS id from
+    __spark_entry__.queries(), r2 VERDICT #6: no unbenched queries) at
+    SF_DIR; noop sink forces full compute."""
+    import __spark_entry__ as em
 
-    suite = {
-        "j1_fetch_join": dq.j1_fetch_join,
-        "j2_anti_dedup": dq.j2_anti_dedup,
-        "f1_wave_order": dq.f1_wave_order,
-        "f2_politeness_topk": dq.f2_politeness_topk,
-        "a3_timing_stats": dq.a3_timing_stats,
-        "a6_sliding_rate": dq.a6_sliding_rate,
-        "a8_perhost_feedback": dq.a8_perhost_feedback,
-        "dedup_exact": td.exact_dedup,
-        "dedup_minhash_bands": td.minhash_bands,
-        "dedup_minhash_pairs": td.minhash_pairs,
-        "dedup_simhash": td.simhash,
-        "dedup_simhash_pairs": td.simhash_pairs,
-        "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
-        "dedup_embedding_cosine": td.embedding_neardup,
-        "dedup_embedding_ivf": td.embedding_ivf_neardup,
-        "ann_bruteforce_topk": ts.ann_bruteforce_topk,
-        "ann_lsh_topk": ts.ann_lsh_topk,
-        "text_langid": ta.lang_id,
-        "text_quality": ta.quality_score,
-        "text_tokens": ta.token_counts,
-        "text_fingerprint": ta.doc_fingerprint,
-        "text_vocab_topk": ta.vocab_topk,
-    }
     out = {}
-    for name, fn in suite.items():
+    for name, fn in sorted(em.queries().items()):
         out[name] = timed(
             lambda: fn(spark, SF_DIR)
             .write.format("noop")
@@ -127,27 +102,60 @@ def run_crawl(spark) -> tuple[float, float, int]:
     return round(wall, 3), round(fetched / wall, 1), fetched
 
 
+def run_scale_wave() -> dict | None:
+    """Scale-path bench (r2 VERDICT #5): one steady-state epoch over a
+    frontier BIGGER than broadcast_wave_max (1M → shuffle-join fetch) and
+    the two-phase-rank SMALL_THRESHOLD (1M → distributed rank) at DEFAULT
+    engine thresholds, so the 100×-critical code paths carry a measured
+    number, not just unit tests. Runs in a fresh subprocess (own JVM with
+    the steady-state tuning). SPIDER_BENCH_SCALE_PAGES=0 skips."""
+    import subprocess
+
+    n = int(os.environ.get("SPIDER_BENCH_SCALE_PAGES", "1500000"))
+    if n <= 0:
+        return None
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_worker.py"
+    )
+    try:
+        p = subprocess.run(
+            [sys.executable, worker, str(CPUS), str(n), "5", "steady"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries = run_queries(spark)
     crawl_wall, urls_per_sec, fetched = run_crawl(spark)
     queries["crawl_bfs"] = crawl_wall
-    total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "crawl_urls_per_sec": urls_per_sec,
-                "crawl_fetched": fetched,
-                "cpus": CPUS,
-            }
-        )
-    )
+    spark.stop()  # free the JVM before the scale-wave subprocess
+    scale = run_scale_wave()
+    result = {
+        "metric": "suite_wall",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "crawl_urls_per_sec": urls_per_sec,
+        "crawl_fetched": fetched,
+        "cpus": CPUS,
+    }
+    if scale is not None:
+        queries["crawl_scale_wave"] = scale["wall_s"]
+        result["scale_wave_urls_per_sec"] = scale["urls_per_sec"]
+        result["scale_wave_frontier"] = scale["n_pages"]
+    result["value"] = round(sum(queries.values()), 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,31 @@ class RetryOnStatus(Middleware):
         )
 
 
+class ServeFromCacheRequest(Middleware):
+    """Request-side ReturnResponse analog (reference
+    src/crawler/request_handler.rs:224-251): requests matching the
+    predicate are never sent — they are served from cache instead. The
+    engine routes SERVE-tagged requests around the network send (not
+    counted requests_sent, fetch_bytes zeroed) but still resolves their
+    content from the pages table ("the cache") and hands them to the
+    response chain with cached=true, counted responses_from_cache +
+    requests_succeeded. Predicate may reference request columns only
+    (url, host, depth, retry_count, ...)."""
+
+    name = "serve_from_cache_request"
+
+    def __init__(self, predicate: str):
+        self.predicate = predicate
+
+    def request_action(self, df):
+        return (
+            F.when(F.expr(self.predicate), F.lit(SERVE)).otherwise(
+                F.lit(CONTINUE)
+            ),
+            F.lit(0),
+        )
+
+
 class ServeFromCache(Middleware):
     """Response-side ReturnResponse analog (reference
     request_handler.rs:243-251): rows matching the predicate short-circuit

@@ -174,6 +174,11 @@ def run_pipelines(
     job each. Default mode keeps the single lumped count (cheap path)."""
     if not pipelines:
         return items, 0, []
+    # cache discipline: each persisted intermediate is released as soon as
+    # the NEXT stage has materialized from it — only the final output stays
+    # cached for the caller (who unpersists it after the items write). A
+    # long crawl otherwise accumulates one stale cache per pipeline per
+    # epoch until LRU eviction.
     items = items.persist()
     n_in = items.count()
     out = items
@@ -182,8 +187,8 @@ def run_pipelines(
         prev_n = n_in
         for p in pipelines:
             t0 = time.perf_counter()
-            out = p.process(out, epoch).persist()
-            n_out = out.count()
+            nxt = p.process(out, epoch).persist()
+            n_out = nxt.count()
             stats.append(
                 {
                     "pipeline": p.name,
@@ -193,12 +198,17 @@ def run_pipelines(
                 }
             )
             prev_n = n_out
+            if nxt is not out:
+                out.unpersist()
+            out = nxt
         dropped = n_in - prev_n
         return out, dropped, stats
     for p in pipelines:
         out = p.process(out, epoch)
     out = out.persist()
     dropped = n_in - out.count()
+    if out is not items:
+        items.unpersist()
     return out, dropped, stats
 
 

@@ -69,6 +69,12 @@ class WaveSelection:
     leftover: DataFrame  # rows staying in the frontier (FRONTIER schema)
     n_wave: int
     robots_dropped: int
+    # the persisted ranked DataFrame both wave and leftover derive from.
+    # Callers MUST unpersist this once the epoch's outputs are
+    # materialized — unpersisting the derived `wave` is a silent no-op
+    # (its filter plan never matches the cached plan), which leaked one
+    # cache per epoch until round 3.
+    cached: DataFrame | None = None
 
 
 def select_wave(
@@ -191,4 +197,5 @@ def select_wave(
         leftover=leftover,
         n_wave=n_wave,
         robots_dropped=robots_dropped,
+        cached=ranked,
     )

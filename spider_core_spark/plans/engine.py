@@ -155,6 +155,11 @@ class CrawlEngine:
     # opaque per-run fetcher state checkpointed in the manifest (the
     # reference's feature-gated cookie_store, src/checkpoint.rs:88-91)
     cookie_store: dict | None = None
+    # pluggable Downloader (reference trait, src/lib.rs:51): None = the
+    # default JoinFetcher over the pages table; pass
+    # HttpFetcher(transport_factory=...) for a live transport — any object
+    # with .fetch(wave, broadcast_wave=, persist=) -> (responses, misses)
+    fetcher: object | None = None
 
     def request_stop(self) -> None:
         """Graceful shutdown (reference Ctrl-C path,
@@ -278,7 +283,7 @@ class CrawlEngine:
                     "is still correct; see BASELINE.md sizing table)."
                 )
         store = CheckpointStore(spark, cfg.workdir)
-        fetcher = JoinFetcher(
+        fetcher = self.fetcher or JoinFetcher(
             pages, cfg.extra.get("response_persist", "MEMORY_AND_DISK")
         )
         par = max(spark.sparkContext.defaultParallelism, 2)
@@ -425,6 +430,7 @@ class CrawlEngine:
         pool = ThreadPoolExecutor(max_workers=8)
         epoch = epoch0
         last_epoch_done = epoch0 - 1
+        jump_cached = None  # leftover cache from an empty-wave epoch jump
         last_manifest: dict | None = None  # pending (uncommitted) manifest
         while epoch < cfg.max_epochs:
             t0 = time.monotonic()
@@ -441,17 +447,30 @@ class CrawlEngine:
 
             if n_wave == 0:
                 leftover = sel.leftover.persist()
-                if leftover.count() == 0:
+                n_left = leftover.count()  # materializes before cache drop
+                if sel.cached is not None:
+                    sel.cached.unpersist()
+                if n_left == 0:
+                    leftover.unpersist()
                     break  # idle: frontier drained (core.rs:264-277 analog)
                 nb = leftover.agg(F.min("not_before_epoch")).collect()[0][0]
                 if nb is None or nb <= epoch:
+                    leftover.unpersist()
                     break  # nothing can ever become eligible (maxed depth)
                 frontier = leftover
+                jump_cached = leftover  # released after the next commit
                 epoch = nb  # jump over empty retry-delay epochs
                 continue
 
             # ---- request middleware chain (forward order); skipped
-            # entirely when no middlewares are registered
+            # entirely when no middlewares are registered.
+            # Request-side SERVE rows are the reference's ReturnResponse
+            # (src/crawler/request_handler.rs:224-251): the request is NOT
+            # sent (no requests_sent, no bytes_downloaded) but a cached
+            # response enters the response chain, counted
+            # responses_from_cache + requests_succeeded. Here "the cache"
+            # is the same pages table the fetch join resolves against, so
+            # SERVE rows ride the join too — tagged so the counters split.
             t_build0 = time.monotonic()
             if self.middlewares:
                 rq = mw.run_request_chain(wave, self.middlewares).persist()
@@ -460,15 +479,20 @@ class CrawlEngine:
                     for r in rq.groupBy(mw.ACTION).count().collect()
                 }
                 req_retries = self._retry_rows(rq, epoch)
-                to_fetch = rq.filter(F.col(mw.ACTION) == mw.CONTINUE).drop(
-                    mw.ACTION, mw.RETRY_DELAY
+                to_fetch = (
+                    rq.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
+                    .withColumn("_req_served", F.col(mw.ACTION) == mw.SERVE)
+                    .drop(mw.ACTION, mw.RETRY_DELAY)
                 )
             else:
                 rq = None
                 rqc = {mw.CONTINUE: n_wave}
                 req_retries = None
-                to_fetch = wave
+                to_fetch = wave.withColumn("_req_served", F.lit(False))
             n_sent = int(rqc.get(mw.CONTINUE, 0))
+            # dispatched = network sends + cache serves; both produce
+            # responses, so the miss arithmetic below uses this sum
+            n_dispatched = n_sent + int(rqc.get(mw.SERVE, 0))
 
             # ---- fetch join (wave broadcast against the pages table);
             # misses are counted arithmetically (sent - received), no job
@@ -479,7 +503,7 @@ class CrawlEngine:
             # driver time that the wide level pays proportionally more for)
             slim = to_fetch.select(
                 "url", "depth", "priority", "seq", "retry_count",
-                "not_before_epoch", "epoch_added", "wave_rank",
+                "not_before_epoch", "epoch_added", "wave_rank", "_req_served",
             )
             responses, _misses = fetcher.fetch(
                 slim,
@@ -490,6 +514,22 @@ class CrawlEngine:
                 "fingerprint", urlfn.fingerprint_col(F.col("url"))
             ).withColumn("host", urlfn.host_col(F.col("url"))).withColumn(
                 "host_hash", urlfn.host_hash_col(urlfn.host_col(F.col("url")))
+            )
+            # request-chain SERVE = cache-served: cached response, no bytes
+            # on the wire (reference skips add_bytes_downloaded for early
+            # returns; zeroing fetch_bytes also keeps cache hits out of the
+            # per-host byte quotas)
+            responses = (
+                responses.withColumn(
+                    "cached", F.col("cached") | F.col("_req_served")
+                )
+                .withColumn(
+                    "fetch_bytes",
+                    F.when(F.col("_req_served"), F.lit(0))
+                    .otherwise(F.col("fetch_bytes"))
+                    .cast("long"),
+                )
+                .drop("_req_served")
             )
 
             # ---- response middleware chain (REVERSED order)
@@ -587,10 +627,14 @@ class CrawlEngine:
                 # first action over rs: materializes the slim cache AND
                 # fills the Observation
                 store.append_epoch(items_out, "items", epoch)
+            if self.pipelines:
+                # the last pipeline cache served its write; release it (the
+                # epoch's other caches — wave/rq/rs — unpersist at loop end)
+                items_out.unpersist()
             parse_ms = (time.monotonic() - t_parse0) * 1000
             with _T("fetch_agg"):
                 st = obs.get
-            n_miss = n_sent - int(st["received"])
+            n_miss = n_dispatched - int(st["received"])
             n_ok = int(st["ok"])
             if n_items is None:
                 n_items = n_ok
@@ -911,6 +955,9 @@ class CrawlEngine:
                 )
                 f_metrics = None if detail else pool.submit(_commit_metrics, 0)
                 frontier = f_frontier.result()
+                if jump_cached is not None:
+                    jump_cached.unpersist()
+                    jump_cached = None
                 delta = f_seen.result()
                 f_order.result()
                 f_status.result()
@@ -968,7 +1015,11 @@ class CrawlEngine:
                 store.clear_salvage_upto(epoch)
                 last_manifest = None
             last_epoch_done = epoch
-            for df in (wave, rq, rs):
+            # release the epoch's caches: the ranked wave (sel.cached — the
+            # plan `wave` itself derives from; unpersisting `wave` would be
+            # a no-op on a derived filter), the request chain, the slim
+            # response cache
+            for df in (sel.cached, rq, rs):
                 if df is not None:
                     df.unpersist()
             if profile:

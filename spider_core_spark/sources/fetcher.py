@@ -100,22 +100,114 @@ class JoinFetcher:
 
 
 class HttpFetcher:
-    """Real-web fetcher: per-partition HTTP client inside mapInPandas.
+    """Live-web fetcher: per-partition transport loop inside mapInPandas —
+    the Spark rebuild of the reference's pluggable Downloader
+    (src/lib.rs:51) whose default is a reqwest client per worker
+    (src/builder.rs:104-117).
 
-    Not runnable in this sandbox (no network, no http client lib baked in);
-    the Spark-side plumbing (signature, batching, partition-per-host
-    politeness) is what JoinFetcher exercises. Kept as the extension point
-    matching the reference's pluggable Downloader.
+    ``transport_factory``: zero-arg picklable callable returning a
+    ``transport(url: str, timeout_s: float) -> dict | None``. The factory
+    runs ONCE per partition inside the UDF (the per-partition client: a
+    real implementation returns e.g. a pooled urllib3/requests session;
+    tests inject a dict-backed fake). The transport returns
+    ``{"status": int, "html": bytes|None, "text": str|None,
+    "lang": str|None, "warc_ts": datetime|None}`` for a completed exchange
+    (any status — 500s are responses, not errors), or ``None`` / raises
+    for a transport-level failure (timeout, DNS, connection reset).
+
+    Failure mapping matches JoinFetcher's miss model: failed rows are
+    EXCLUDED from the responses frame, so the engine's arithmetic
+    (failed = dispatched − received; A8 per-host errors =
+    sent − responded) is identical across both fetchers — no status-null
+    rows to special-case downstream.
+
+    Scale notes: the wave arrives politeness-capped; callers wanting
+    per-host connection reuse should `salt_repartition` (or
+    repartition(host_hash)) first so one partition ≈ few hosts. Arrow
+    batches bound per-task memory; bytes are counted off the wire
+    (len(html)) exactly like the reference's add_bytes_downloaded.
     """
 
-    def __init__(self, timeout_s: float = 10.0):
+    def __init__(self, transport_factory, timeout_s: float = 10.0):
+        self.transport_factory = transport_factory
         self.timeout_s = timeout_s
 
-    def fetch(self, wave: DataFrame, broadcast_wave: bool = True) -> DataFrame:
-        raise NotImplementedError(
-            "HttpFetcher requires network access; use JoinFetcher over a "
-            "pages table in this environment"
+    def fetch(
+        self, wave: DataFrame, broadcast_wave: bool = True, persist: bool = False
+    ) -> tuple[DataFrame, None]:
+        """Returns (responses, None) — same contract as JoinFetcher.fetch
+        minus the misses frame (misses are whatever the transport failed;
+        the engine never consumes the misses frame, it counts
+        arithmetically). Input columns ride through unchanged (the
+        response→request back-pointer, request_handler.rs:299,353)."""
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(wave.schema.fields)
+            + [
+                T.StructField("warc_ts", T.TimestampType(), True),
+                T.StructField("html", T.BinaryType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("lang", T.StringType(), True),
+                T.StructField("status", T.IntegerType(), True),
+                T.StructField("cached", T.BooleanType(), False),
+                T.StructField("fetch_bytes", T.LongType(), False),
+            ]
         )
+        factory = self.transport_factory
+        timeout_s = self.timeout_s
+        in_cols = wave.columns
+
+        def _fetch_partition(batches):
+            import pandas as pd
+
+            transport = factory()  # one client per partition
+            for pdf in batches:
+                keep_idx, resp_rows = [], []
+                for i, u in enumerate(pdf["url"]):
+                    try:
+                        r = transport(u, timeout_s)
+                    except Exception:
+                        r = None  # timeout / connection error → miss
+                    if r is None:
+                        continue
+                    html = r.get("html")
+                    resp_rows.append(
+                        {
+                            "warc_ts": r.get("warc_ts"),
+                            "html": html,
+                            "text": r.get("text"),
+                            "lang": r.get("lang"),
+                            "status": r.get("status"),
+                            "cached": bool(r.get("cached", False)),
+                            "fetch_bytes": len(html) if html is not None else 0,
+                        }
+                    )
+                    keep_idx.append(i)
+                kept = pdf.iloc[keep_idx].reset_index(drop=True)
+                resp = pd.DataFrame(
+                    resp_rows,
+                    columns=[
+                        "warc_ts", "html", "text", "lang", "status",
+                        "cached", "fetch_bytes",
+                    ],
+                )
+                out = pd.concat([kept[in_cols], resp], axis=1)
+                if out.empty:
+                    # keep dtypes stable for Arrow on empty batches
+                    out = out.astype(
+                        {"status": "Int32", "fetch_bytes": "int64",
+                         "cached": "bool"},
+                        errors="ignore",
+                    )
+                yield out
+
+        responses = wave.mapInPandas(_fetch_partition, schema=out_schema)
+        if persist:
+            from pyspark import StorageLevel
+
+            responses = responses.persist(StorageLevel.MEMORY_AND_DISK)
+        return responses, None
 
 
 def salt_repartition(df: DataFrame, n_partitions: int, salt: int) -> DataFrame:

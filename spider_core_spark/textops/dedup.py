@@ -15,10 +15,12 @@ Scale design notes (100 TB):
   only ever meet inside a band bucket, never all-pairs;
 - simhash: per-row token explode + one groupBy(doc) — the 32 bit-sums are
   map-side combinable;
-- ngram-jaccard: pairs restricted to (lang, length-bucket) blocking keys —
-  the classic blocking trick keeping the join from going quadratic;
-- embedding near-dup: label-blocked pair join (stand-in for an IVF
-  partitioning at scale).
+- ngram-jaccard: banded-MinHash candidate generation (16 one-row bands,
+  P(miss | J ≥ 0.3) ≤ 0.7^16 ≈ 0.33%) + exact verification — never an
+  in-block all-pairs product; the exact variant survives behind an
+  enforced block-size cap (ngram_jaccard_pairs_exact);
+- embedding near-dup: label-blocked pair join (stand-in) and an IVF
+  variant whose centroid count scales (k ≈ √N via ivf_k_for).
 """
 
 from __future__ import annotations
@@ -322,25 +324,183 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
 # ------------------------------------------------------------- ngram jaccard
 JACCARD_THRESHOLD = 0.3
 LEN_BUCKET = 100
+# Banded-MinHash candidate generation (round-3 scale fix, VERDICT r2 #4):
+# 16 one-row bands — a pair with true Jaccard J shares at least one band
+# minimum with probability 1 − (1−J)^16, so
+#   P(miss | J ≥ 0.3) ≤ 0.7^16 ≈ 0.33%  (documented recall bound < 1%).
+# The operator is OFFICIALLY APPROXIMATE: candidates come from the band
+# equi-join (shuffle key = (lang, lb, band, min) — high-cardinality, never
+# an in-block all-pairs product), then every candidate is verified with
+# the EXACT Jaccard on the hashed shingle sets, so false positives are
+# impossible; only band misses (< 1%) differ from the exact variant, which
+# remains available as ngram_jaccard_pairs_exact (block-size-capped).
+NGRAM_BANDS = 16
+_NGRAM_SHAS = 4  # 4 sha digests/shingle → 16 independent 60-bit words
+
+
+def _ngram_shas_spark(tokens: str = "_toks") -> str:
+    """Per-shingle concat of 4 seeded digests (256 hex chars) — staged
+    once per row; band minima and the shingle-set hash are substring
+    slices of it (word 0 doubles as the set member for the exact
+    verification intersect)."""
+    shas = " , ".join(
+        f"sha2(concat('{s}:', x), 256)" for s in range(_NGRAM_SHAS)
+    )
+    return f"transform({_shingles_spark(tokens)}, x -> concat({shas}))"
+
+
+def _ngram_shas_duck() -> str:
+    shas = " || ".join(f"sha256('{s}:' || x)" for s in range(_NGRAM_SHAS))
+    return f"list_transform({_shingles_duck()}, x -> {shas})"
+
+
+def _ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, lb, sh, nsh, mins): hashed distinct shingle set +
+    the 16 band minima, computed in ONE pass over the staged digests and
+    persisted (paid once, reused by candidate join and verification)."""
+    staged = _docs_tokens(spark, sf_dir, "lang", "n_chars").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
+        F.expr(_ngram_shas_spark("_toks")).alias("_shas"),
+    )
+    word = (
+        lambda j: f"transform(_shas, s -> "
+        f"cast(conv(substring(s, {1 + 15 * j}, {H}), 16, 10) as long))"
+    )
+    mins = F.array(*[F.expr(f"array_min({word(j)})") for j in range(NGRAM_BANDS)])
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            "lb",
+            F.array_distinct(F.expr(word(0))).alias("sh"),
+            mins.alias("mins"),
+        )
+        .withColumn("nsh", F.size("sh"))
+        .persist()
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise Jaccard over 3-word shingle sets: candidates share
-    (lang, n_chars bucket); |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+    """Near-dup pairs by 3-word-shingle Jaccard ≥ 0.3 within a
+    (lang, length-bucket) block — banded-MinHash candidates (recall bound
+    above), exact verification.
 
-    Scale design (output-preserving — every guard is implied by J ≥ 0.3,
-    so the result set is EXACTLY the unguarded one):
-    - shingles are HASHED to int64 (h64, both engines) before the pair
-      join — set intersection compares 8-byte words, not strings, and the
-      shuffled pair rows carry long arrays instead of string arrays;
-    - length-ratio prefilter: J ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
-      10·min < 3·max can't reach 0.3 — exact integer test on precomputed
-      set sizes BEFORE the intersect;
-    - the hashed-shingle pass is persisted (paid once, not per join side)
-      and the intersect is a staged column (evaluated once, not re-derived
-      by the threshold filter);
-    - the bucket key uses explicit floor division (identical in both
-      engines). The blocking join stays (lang, len-bucket) keyed."""
+    Scale design:
+    - candidate generation is ONE equi-join on (lang, lb, band, min) —
+      band minima are ~unique per distinct content, so the join key is
+      high-cardinality and the pair count tracks the number of true
+      near-dups, not block_size²; a 10^6-doc block costs 16·10^6 long-form
+      rows, not 10^12 intersections;
+    - length-ratio prefilter (J ≤ min/max ⇒ 10·min ≥ 3·max) before the
+      intersect — exact integer test on precomputed set sizes;
+    - verification compares int64 hashed-shingle arrays (8-byte words,
+      not strings); the digest pass is staged once per row and persisted."""
+    d = _ngram_docs(spark, sf_dir)
+    long = d.select(
+        "doc_id", "lang", "lb", F.posexplode("mins").alias("band", "mh")
+    )
+    l = long.select(F.col("doc_id").alias("a"), "lang", "lb", "band", "mh")
+    r = long.select(F.col("doc_id").alias("b"), "lang", "lb", "band", "mh")
+    cand = (
+        l.join(r, ["lang", "lb", "band", "mh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # J >= 0.3 ⇒ min/max >= 0.3 ⇔ 10·min >= 3·max (exact integer test)
+    ratio_ok = F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 3
+    return (
+        cand.join(
+            d.select(
+                F.col("doc_id").alias("a"),
+                F.col("sh").alias("sha"),
+                F.col("nsh").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            d.select(
+                F.col("doc_id").alias("b"),
+                F.col("sh").alias("shb"),
+                F.col("nsh").alias("nb"),
+            ),
+            "b",
+        )
+        .filter(ratio_ok)
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql() -> str:
+    """DuckDB oracle implementing the IDENTICAL banding approximation
+    (same 4 digests, same 16 minima, same candidate join, same exact
+    verification) — bit-for-bit parity with the Spark plan."""
+    word = (
+        lambda j: f"list_transform(_shas, s -> "
+        f"('0x' || substring(s, {1 + 15 * j}, {H}))::BIGINT)"
+    )
+    min_cols = ", ".join(
+        f"list_min({word(j)}) AS m{j}" for j in range(NGRAM_BANDS)
+    )
+    long_union = " UNION ALL ".join(
+        f"SELECT doc_id, lang, lb, {j} AS band, m{j} AS mh FROM d"
+        for j in range(NGRAM_BANDS)
+    )
+    return f"""
+WITH staged AS MATERIALIZED (
+  SELECT doc_id, lang, (n_chars // {LEN_BUCKET})::INT AS lb,
+         {_ngram_shas_duck()} AS _shas
+  FROM documents
+),
+d AS MATERIALIZED (
+  SELECT doc_id, lang, lb,
+         list_distinct({word(0)}) AS sh,
+         {min_cols}
+  FROM staged
+),
+s AS (SELECT doc_id, sh, len(sh) AS nsh FROM d),
+long AS ({long_union}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM long l JOIN long r USING (lang, lb, band, mh)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a, b, jaccard FROM (
+  SELECT a, b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (sa.nsh + sb.nsh - len(list_intersect(sa.sh, sb.sh))), 4)
+           AS jaccard
+  FROM cand JOIN s sa ON sa.doc_id = cand.a
+            JOIN s sb ON sb.doc_id = cand.b
+  WHERE least(sa.nsh, sb.nsh) * 10 >= greatest(sa.nsh, sb.nsh) * 3
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# exact variant (VERDICT r2 option b, kept alongside the banded default):
+# all-pairs inside (lang, len-bucket) blocks with an ENFORCED block-size
+# cap — quadratic cost is bounded and overflow fails loudly instead of
+# melting a 100 TB run
+NGRAM_BLOCK_CAP = 100_000
+
+
+def ngram_jaccard_pairs_exact(
+    spark: SparkSession, sf_dir: str, block_cap: int = NGRAM_BLOCK_CAP
+) -> DataFrame:
+    """Exact blocked Jaccard (no band misses). Refuses to run if any
+    (lang, len-bucket) block exceeds ``block_cap`` rows — the all-pairs
+    intersect inside a block is O(block²) and must be bounded explicitly;
+    use the banded ngram_jaccard_pairs (recall ≥ 99% at J ≥ 0.3) when
+    blocks can grow unbounded."""
     d = _docs_tokens(spark, sf_dir, "lang", "n_chars").select(
         "doc_id",
         "lang",
@@ -352,11 +512,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     ).withColumn("nsh", F.size("sh")).persist()
-    # salt the block key (output-preserving): with ~30 (lang, lb) blocks
-    # the intersect work lands on ~30 key-groups regardless of executor
-    # count — salting the left side by pmod(doc_id, S) and replicating the
-    # right side S× spreads each block across S tasks (each pair still
-    # meets exactly once, in the left row's salt slot)
+    biggest = (
+        d.groupBy("lang", "lb").count().agg(F.max("count")).collect()[0][0]
+    )
+    if biggest is not None and biggest > block_cap:
+        raise ValueError(
+            f"ngram_jaccard_pairs_exact: largest (lang, len-bucket) block "
+            f"has {biggest} docs > block_cap={block_cap}; the exact "
+            f"all-pairs intersect is O(block²) — raise block_cap only if "
+            f"you accept ~{biggest}²/2 comparisons, or use the banded "
+            f"ngram_jaccard_pairs (P(miss | J≥0.3) ≤ 0.7^{NGRAM_BANDS})"
+        )
+    # salt the block key (output-preserving): spreads each block across S
+    # tasks without changing the pair count
     S = 8
     l = d.select(
         F.col("doc_id").alias("a"), "lang", "lb",
@@ -368,7 +536,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("shb"), F.col("nsh").alias("nb"),
         F.explode(F.array(*[F.lit(i) for i in range(S)])).alias("_salt"),
     )
-    # J >= 0.3 ⇒ min/max >= 0.3 ⇔ 10·min >= 3·max (exact integer test)
     ratio_ok = F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 3
     return (
         l.join(r, ["lang", "lb", "_salt"])
@@ -383,29 +550,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_sql() -> str:
-    hsh = h64_duckdb("x", seed=7)
-    return f"""
-WITH d AS (
-  SELECT doc_id, lang, (n_chars // {LEN_BUCKET})::INT AS lb,
-         list_distinct(list_transform({_shingles_duck()}, x -> {hsh})) AS sh
-  FROM documents
-), s AS (SELECT *, len(sh) AS nsh FROM d)
-SELECT a, b, jaccard FROM (
-  SELECT l.doc_id AS a, r.doc_id AS b,
-         round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-               (l.nsh + r.nsh - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
-  FROM s l JOIN s r
-    ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
-   AND least(l.nsh, r.nsh) * 10 >= greatest(l.nsh, r.nsh) * 3
-)
-WHERE jaccard >= {JACCARD_THRESHOLD}
-"""
-
-
 # ------------------------------------------------- embedding cosine near-dup
 COSINE_THRESHOLD = 0.9
-IVF_K = 8  # centroids for the IVF-cell variant
+# Default centroid count for the IVF variants — matches the registered
+# sf0.01 oracle SQL. At scale K must GROW with the corpus: pass k=None
+# (auto √N) or an explicit k to the operators below.
+IVF_K = 8
+
+
+def ivf_k_for(n_vectors: int) -> int:
+    """Scale-sized centroid count K ≈ √N: the assign pass costs N·K dot
+    products and the within-cell pair pass costs ~N²/K (uniform cells), so
+    K = √N equalizes them at N^1.5 total — the classic IVF balance. At
+    N = 10^10 that is K = 10^5 centroids (a ~25 MB broadcast at 64-dim
+    float32) and ~10^5 vectors per cell (~10^10 in-cell dots per cell
+    pair pass — spread over cells, each cell is one shuffle task). Never
+    returns less than the IVF_K default."""
+    import math
+
+    return max(IVF_K, math.isqrt(max(n_vectors, 1)))
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,18 +609,28 @@ WHERE round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) /
 """
 
 
-def embedding_ivf_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_ivf_neardup(
+    spark: SparkSession, sf_dir: str, k: int | None = IVF_K
+) -> DataFrame:
     """IVF-partitioned near-dup — the 100-TB shape the label-blocked
-    variant stands in for: IVF_K deterministic seed centroids (the first
-    K vectors), every vector assigned to its nearest centroid by cosine
+    variant stands in for: k deterministic seed centroids (the first
+    k vectors), every vector assigned to its nearest centroid by cosine
     (rounded to 6 dp so both engines argmin identically; ties broken by
     centroid id), near-dup pairs computed ONLY within a cell. The cell id
-    is the shuffle key at scale; the centroid table broadcasts."""
+    is the shuffle key at scale; the centroid table broadcasts.
+
+    ``k``: centroid count — the default matches the sf0.01 oracle
+    (embedding_ivf_sql(k=IVF_K)); pass k=None to auto-size K ≈ √N
+    (ivf_k_for), the balance point between the N·K assign pass and the
+    N²/K within-cell pair pass. A fixed small K at 10^10 vectors makes
+    cells N/K-sized and the pair pass quadratic — K must scale."""
     e = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
-    cents = e.filter(F.col("vec_id") < IVF_K).select(
+    if k is None:
+        k = ivf_k_for(e.count())
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
     )
 
@@ -495,9 +668,11 @@ _DUCK_COS = (
     "sqrt(list_sum([x * x for x in {r}])))"
 )
 
-EMBEDDING_IVF_SQL = f"""
+def embedding_ivf_sql(k: int = IVF_K) -> str:
+    """Oracle for embedding_ivf_neardup at the same k."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {IVF_K}),
+c AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {k}),
 a AS (
   SELECT e.vec_id, e.v, c.cid,
          round({_DUCK_COS.format(l='e.v', r='c.vc')}, 6) AS cos_c
@@ -517,3 +692,6 @@ SELECT a, b, cos FROM (
 )
 WHERE cos >= {COSINE_THRESHOLD}
 """
+
+
+EMBEDDING_IVF_SQL = embedding_ivf_sql()  # default-k oracle (sf0.01 gate)

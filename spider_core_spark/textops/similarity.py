@@ -150,18 +150,31 @@ QUALIFY rank <= {TOP_K}
 
 
 # ------------------------------------------------------------------- IVF
-IVF_K_ANN = 8  # seed centroids (first K vectors)
-NPROBE = 2     # cells probed per query
+IVF_K_ANN = 8  # default seed-centroid count — matches the sf0.01 oracle
+NPROBE = 2     # default cells probed per query
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: corpus vectors assigned to their nearest of IVF_K_ANN seed
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = IVF_K_ANN,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF ANN: corpus vectors assigned to their nearest of k seed
     centroids (6-dp rounded cosine, centroid-id tiebreak); each query
-    probes its NPROBE nearest cells and ranks candidates by exact cosine.
+    probes its nprobe nearest cells and ranks candidates by exact cosine.
     At 100 TB the cell id partitions the corpus — a query touches only
-    nprobe/K of the data; the centroid table broadcasts."""
+    nprobe/k of the data; the centroid table broadcasts.
+
+    ``k=None`` auto-sizes K ≈ √N (textops.dedup.ivf_k_for): cell size
+    N/K ≈ √N keeps per-query scanned vectors at nprobe·√N instead of
+    nprobe·N/8; the defaults exist for the fixed sf0.01 oracle."""
+    from spider_core_spark.textops.dedup import ivf_k_for
+
     e = _emb(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < IVF_K_ANN).select(
+    if k is None:
+        k = ivf_k_for(e.count())
+    cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     scored_cells = e.crossJoin(F.broadcast(cents)).withColumn(
@@ -171,7 +184,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored_cells.withColumn("crank", F.row_number().over(w))
     cells = ranked.filter(F.col("crank") == 1).select("vec_id", "v", "cid")
     probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= nprobe)
     ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
     scored = (
         cells.join(F.broadcast(probes), "cid")
@@ -186,9 +199,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_IVF_SQL = f"""
+def ann_ivf_sql(k: int = IVF_K_ANN, nprobe: int = NPROBE) -> str:
+    """Oracle for ann_ivf_topk at the same (k, nprobe)."""
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K_ANN}),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
 sc AS (
   SELECT e.vec_id, e.v, c.cid,
          round(list_sum([e.v[i] * c.cv[i] for i in range(1, len(e.v) + 1)]) /
@@ -204,7 +219,7 @@ ranked AS (
 cells AS (SELECT vec_id, v, cid FROM ranked WHERE crank = 1),
 probes AS (
   SELECT vec_id AS query_id, v AS qv, cid
-  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crank <= {nprobe}
 ),
 scored AS (
   SELECT p.query_id, cells.vec_id,
@@ -221,3 +236,6 @@ SELECT query_id, vec_id AS neighbor_id, cos,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+ANN_IVF_SQL = ann_ivf_sql()  # default-(k, nprobe) oracle (sf0.01 gate)

@@ -120,3 +120,57 @@ def test_streaming_no_duplicate_fetch_across_generations(
     assert len(urls) == len(set(urls))
     fps = [r["fingerprint"] for r in out["seen"].collect()]
     assert len(fps) == len(set(fps))
+
+
+def test_streaming_starvation_guard_parks_and_terminates(
+    spark, tmp_path_factory
+):
+    """A host whose robots budget is permanently 0 must not livelock the
+    stream (VERDICT r2 "What's wrong #2"): its rows are PARKED — reported,
+    never re-emitted — and the idle timeout fires because an unchanged
+    starved leftover set no longer counts as activity."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    rows = sitegen.gen_pages_rows(range(N_PAGES), N_PAGES, N_SITES, SEED)
+    pages = spark.createDataFrame(rows, schemas.PAGES)
+    seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
+    starved = "site0.test"
+    robots = spark.createDataFrame(
+        [
+            (starved, [], None, 0),  # budget 0: never admitted
+            ("site1.test", [], None, None),
+            ("site2.test", [], None, None),
+        ],
+        schemas.ROBOTS,
+    )
+    t0 = time.monotonic()
+    out = StreamingCrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("stream_starve")),
+            use_robots=True,
+            default_host_budget=10**9,
+        ),
+    ).run(pages, robots=robots, idle_timeout_s=10.0)
+    wall = time.monotonic() - t0
+    # termination itself is the headline assertion (pre-guard this ran
+    # forever); the wall bound just documents it wasn't the watchdog
+    assert wall < 180
+
+    parked = out["parked"]
+    assert parked.count() > 0
+    assert {r["host"] for r in parked.select("host").distinct().collect()} == {
+        starved
+    }
+    fetched_hosts = {
+        r["h"]
+        for r in out["items"]
+        .select(F.regexp_extract("url", r"https?://([^/]+)", 1).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert starved not in fetched_hosts
+    assert fetched_hosts  # unaffected hosts still crawled
