@@ -52,6 +52,11 @@ class SimConfig:
     adaptive_error_hi: float = 0.10
     adaptive_error_lo: float = 0.01
     adaptive_start_budget: int = 100
+    # response-time term (engine: CrawlConfig.adaptive_time_target_ms +
+    # a fetcher emitting transport_ms; here: pages[url]["fetch_ms"]):
+    # per-host 0.7/0.3 EMA of the epoch's average response time, budget
+    # −1 above target / +1 below target/2 AFTER the error rule
+    adaptive_time_target_ms: int | None = None
     # Crawl-delay enforcement + per-host byte quota (same rules as the
     # engine: plans/config.py epoch_time_budget_ms / host_bytes_quota)
     epoch_time_budget_ms: int | None = None
@@ -72,6 +77,7 @@ class SimResult:
     items: list[dict]
     metrics: dict[int, dict]
     totals: dict
+    budgets: dict = field(default_factory=dict)  # final A8 per-host budgets
 
 
 @dataclass
@@ -130,6 +136,7 @@ def simulate(
     }
 
     adaptive: dict[str, int] = {}
+    ema_ms: dict[str, float] = {}  # per-host response-time EMA (time term)
     usage_bytes: dict[str, int] = {}  # cumulative, applied from next epoch
     epoch = 0
     while epoch < cfg.max_epochs and frontier:
@@ -224,6 +231,7 @@ def simulate(
 
         sent_h: dict[str, int] = {}
         err_h: dict[str, int] = {}
+        times_h: dict[str, list[float]] = {}
         sent_ids = {id(r) for r in sent}
         for rank, r in enumerate(wave):
             if id(r) not in sent_ids:
@@ -234,6 +242,8 @@ def simulate(
                 n_miss += 1
                 err_h[r.host] = err_h.get(r.host, 0) + 1
                 continue
+            if page.get("fetch_ms") is not None:
+                times_h.setdefault(r.host, []).append(float(page["fetch_ms"]))
             if page.get("status", 200) > cfg.success_max_status:
                 err_h[r.host] = err_h.get(r.host, 0) + 1
             status = page.get("status", 200)
@@ -330,17 +340,36 @@ def simulate(
         new_rows = fresh_rows + retries
         urls_deduped = len(cands) - len(fresh)
 
-        # A8 adaptive feedback (same thresholds as the engine)
+        # A8 adaptive feedback (same thresholds as the engine): error rule
+        # (halve/double) first, then the response-time term on the EMA
         if cfg.adaptive_budget:
             for h, n_sent_h in sent_h.items():
                 cur = adaptive.get(h, cfg.adaptive_start_budget)
                 rate = err_h.get(h, 0) / n_sent_h
                 if rate > cfg.adaptive_error_hi:
-                    adaptive[h] = max(cur // 2, 1)
+                    nxt = max(cur // 2, 1)
                 elif rate < cfg.adaptive_error_lo:
-                    adaptive[h] = min(cur * 2, cfg.default_host_budget)
+                    nxt = min(cur * 2, cfg.default_host_budget)
                 else:
-                    adaptive[h] = cur
+                    nxt = cur
+                if cfg.adaptive_time_target_ms is not None:
+                    ts_ = times_h.get(h)
+                    if ts_:
+                        t_avg = sum(ts_) / len(ts_)
+                        prev_ema = ema_ms.get(h)
+                        ema_ms[h] = (
+                            t_avg
+                            if prev_ema is None
+                            else 0.7 * prev_ema + 0.3 * t_avg
+                        )
+                    cur_ema = ema_ms.get(h)
+                    tgt = float(cfg.adaptive_time_target_ms)
+                    if cur_ema is not None:
+                        if cur_ema > tgt:
+                            nxt = max(nxt - 1, 1)
+                        elif cur_ema < tgt / 2:
+                            nxt = min(nxt + 1, cfg.default_host_budget)
+                adaptive[h] = nxt
 
         frontier = leftover + new_rows
         metrics[epoch] = {
@@ -368,4 +397,7 @@ def simulate(
         totals["urls_deduped"] += urls_deduped
         epoch += 1
 
-    return SimResult(orders=orders, seen=seen, items=items, metrics=metrics, totals=totals)
+    return SimResult(
+        orders=orders, seen=seen, items=items, metrics=metrics,
+        totals=totals, budgets=dict(adaptive),
+    )

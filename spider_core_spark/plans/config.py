@@ -96,6 +96,13 @@ class CrawlConfig:
     adaptive_error_hi: float = 0.10
     adaptive_error_lo: float = 0.01
     adaptive_start_budget: int = 100
+    # response-time term of the AdaptiveSemaphore rule (reference
+    # src/concurrency.rs:112-122: permits −1 above the target, +1 below
+    # target/2, on a 0.7/0.3 EMA of response times). Applies when the
+    # fetcher emits a per-URL ``transport_ms`` column (HttpFetcher does;
+    # the join fetcher has no per-URL wall time). None = error-rate-only
+    # (the round-2 behavior).
+    adaptive_time_target_ms: int | None = None
 
     # statuses considered fetch success (mark-as-visited happens only after
     # success, src/crawler/request_handler.rs:352-362)

@@ -46,6 +46,10 @@ from spider_core_spark.plans.config import CrawlConfig
 from spider_core_spark.sources.fetcher import JoinFetcher, salt_repartition
 
 _FCOLS = [f.name for f in schemas.FRONTIER.fields]
+# adaptive-budget table: budget + the per-host response-time EMA feeding
+# the AdaptiveSemaphore time term (ema_ms null = no time signal yet;
+# round-2 checkpoints lack the column and read as null — compatible)
+_BUDGET_SCHEMA = "host string, budget int, ema_ms double"
 
 
 @dataclass
@@ -388,7 +392,7 @@ class CrawlEngine:
 
             for e in range(epoch0 - 1, -1, -1):
                 if _os.path.exists(_budgets_dir(e)):
-                    budgets = spark.read.schema("host string, budget int").parquet(
+                    budgets = spark.read.schema(_BUDGET_SCHEMA).parquet(
                         _budgets_dir(e)
                     )
                     break
@@ -874,11 +878,23 @@ class CrawlEngine:
                 store.append_epoch(metrics_df, "metrics", epoch)
 
             def _commit_budgets():
-                """A8 adaptive feedback: per-host error rates drive the next
-                epoch's budgets (AdaptiveSemaphore thresholds, reference
-                src/concurrency.rs:87-134: halve >10% errors, double <1%).
-                Status-based and deterministic so the simulator mirrors it."""
+                """A8 adaptive feedback (AdaptiveSemaphore analog, reference
+                src/concurrency.rs:87-134): per-host error rates halve/double
+                the budget (>10% / <1%, status-based and deterministic so the
+                simulator mirrors it), then — when the fetcher emits per-URL
+                ``transport_ms`` (HttpFetcher) and a target is configured —
+                the reference's response-time term applies on a 0.7/0.3 EMA:
+                budget −1 above the target, +1 below target/2
+                (src/concurrency.rs:112-122; EMA coefficients :59-61, here
+                per-epoch-average instead of per-sample)."""
+                has_time = (
+                    cfg.adaptive_time_target_ms is not None
+                    and "transport_ms" in rs.columns
+                )
                 sent_h = to_fetch.groupBy("host").agg(F.count("*").alias("n_sent"))
+                time_aggs = (
+                    [F.avg("transport_ms").alias("t_avg")] if has_time else []
+                )
                 resp_h = rs.groupBy("host").agg(
                     F.count("*").alias("n_resp"),
                     F.coalesce(
@@ -889,6 +905,7 @@ class CrawlEngine:
                         ),
                         F.lit(0),
                     ).alias("n_err"),
+                    *time_aggs,
                 )
                 stats_h = sent_h.join(resp_h, "host", "left").select(
                     "host",
@@ -897,16 +914,16 @@ class CrawlEngine:
                         (F.col("n_sent") - F.coalesce(F.col("n_resp"), F.lit(0)))
                         + F.coalesce(F.col("n_err"), F.lit(0))
                     ).alias("errors"),
+                    *([F.col("t_avg")] if has_time else []),
                 )
                 prev = (
                     budgets
                     if budgets is not None
-                    else spark.createDataFrame([], "host string, budget int")
+                    else spark.createDataFrame([], _BUDGET_SCHEMA)
                 )
                 cur = F.coalesce(F.col("budget"), F.lit(cfg.adaptive_start_budget))
                 rate = F.col("errors") / F.col("n_sent")
-                updated = stats_h.join(prev, "host", "left").select(
-                    "host",
+                by_error = (
                     F.when(
                         rate > cfg.adaptive_error_hi,
                         F.greatest(F.floor(cur / 2), F.lit(1)),
@@ -916,13 +933,40 @@ class CrawlEngine:
                         F.least(cur * 2, F.lit(cfg.default_host_budget)),
                     )
                     .otherwise(cur)
-                    .cast("int")
-                    .alias("budget"),
+                )
+                if has_time:
+                    ema = F.when(
+                        F.col("t_avg").isNull(), F.col("ema_ms")
+                    ).otherwise(
+                        F.coalesce(
+                            0.7 * F.col("ema_ms") + 0.3 * F.col("t_avg"),
+                            F.col("t_avg"),
+                        )
+                    )
+                    tgt = float(cfg.adaptive_time_target_ms)
+                    budget_col = (
+                        F.when(ema > tgt, F.greatest(by_error - 1, F.lit(1)))
+                        .when(
+                            ema < tgt / 2,
+                            F.least(
+                                by_error + 1, F.lit(cfg.default_host_budget)
+                            ),
+                        )
+                        .otherwise(by_error)
+                    )
+                    ema_col = ema
+                else:
+                    budget_col = by_error
+                    ema_col = F.col("ema_ms")
+                updated = stats_h.join(prev, "host", "left").select(
+                    "host",
+                    budget_col.cast("int").alias("budget"),
+                    ema_col.cast("double").alias("ema_ms"),
                 )
                 untouched = prev.join(stats_h.select("host"), "host", "left_anti")
                 out = untouched.unionByName(updated)
                 out.write.mode("overwrite").parquet(_budgets_dir(epoch))
-                return spark.read.schema("host string, budget int").parquet(
+                return spark.read.schema(_BUDGET_SCHEMA).parquet(
                     _budgets_dir(epoch)
                 )
 

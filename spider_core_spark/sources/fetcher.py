@@ -152,6 +152,11 @@ class HttpFetcher:
                 T.StructField("status", T.IntegerType(), True),
                 T.StructField("cached", T.BooleanType(), False),
                 T.StructField("fetch_bytes", T.LongType(), False),
+                # per-URL wall time of the transport exchange (the
+                # reference's record_request_time); feeds the A8 adaptive
+                # time term. A transport may override with an explicit
+                # "transport_ms" (deterministic replay/testing).
+                T.StructField("transport_ms", T.DoubleType(), True),
             ]
         )
         factory = self.transport_factory
@@ -159,18 +164,22 @@ class HttpFetcher:
         in_cols = wave.columns
 
         def _fetch_partition(batches):
+            import time as _time
+
             import pandas as pd
 
             transport = factory()  # one client per partition
             for pdf in batches:
                 keep_idx, resp_rows = [], []
                 for i, u in enumerate(pdf["url"]):
+                    t0 = _time.perf_counter()
                     try:
                         r = transport(u, timeout_s)
                     except Exception:
                         r = None  # timeout / connection error → miss
                     if r is None:
                         continue
+                    measured_ms = (_time.perf_counter() - t0) * 1000.0
                     html = r.get("html")
                     resp_rows.append(
                         {
@@ -181,6 +190,9 @@ class HttpFetcher:
                             "status": r.get("status"),
                             "cached": bool(r.get("cached", False)),
                             "fetch_bytes": len(html) if html is not None else 0,
+                            "transport_ms": float(
+                                r.get("transport_ms", measured_ms)
+                            ),
                         }
                     )
                     keep_idx.append(i)
@@ -189,7 +201,7 @@ class HttpFetcher:
                     resp_rows,
                     columns=[
                         "warc_ts", "html", "text", "lang", "status",
-                        "cached", "fetch_bytes",
+                        "cached", "fetch_bytes", "transport_ms",
                     ],
                 )
                 out = pd.concat([kept[in_cols], resp], axis=1)
