@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": td.simhash,
         "dedup_simhash_pairs": td.simhash_pairs,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
+        "dedup_ngram_exact": td.ngram_jaccard_pairs_exact,
         "dedup_embedding_cosine": td.embedding_neardup,
         "dedup_embedding_ivf": td.embedding_ivf_neardup,
         # similarity search
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": td.simhash_sql(),
         "dedup_simhash_pairs": td.simhash_pairs_sql(),
         "dedup_ngram_jaccard": td.ngram_jaccard_sql(),
+        "dedup_ngram_exact": td.ngram_jaccard_exact_sql(),
         "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
         "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,

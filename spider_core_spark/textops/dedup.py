@@ -364,17 +364,33 @@ def _ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / LEN_BUCKET).cast("int").alias("lb"),
         F.expr(_ngram_shas_spark("_toks")).alias("_shas"),
     )
-    word = (
-        lambda j: f"transform(_shas, s -> "
-        f"cast(conv(substring(s, {1 + 15 * j}, {H}), 16, 10) as long))"
+    # band minima: min over the fixed-width lowercase-HEX word strings
+    # (lexicographic ≡ numeric for fixed-width hex), hex→int64 ONCE per
+    # (doc, band) on the winner — not once per shingle per band; the
+    # per-shingle pass is 16 substring slices, no radix parses. Values
+    # are bit-identical to the parse-then-min order.
+    word_str = (
+        lambda j: f"transform(_shas, s -> substring(s, {1 + 15 * j}, {H}))"
     )
-    mins = F.array(*[F.expr(f"array_min({word(j)})") for j in range(NGRAM_BANDS)])
+    mins = F.array(
+        *[
+            F.expr(
+                f"cast(conv(array_min({word_str(j)}), 16, 10) as long)"
+            )
+            for j in range(NGRAM_BANDS)
+        ]
+    )
+    # the intersect set needs per-shingle int64s (one conv per shingle)
+    word0 = (
+        f"transform(_shas, s -> "
+        f"cast(conv(substring(s, 1, {H}), 16, 10) as long))"
+    )
     return (
         staged.select(
             "doc_id",
             "lang",
             "lb",
-            F.array_distinct(F.expr(word(0))).alias("sh"),
+            F.array_distinct(F.expr(word0)).alias("sh"),
             mins.alias("mins"),
         )
         .withColumn("nsh", F.size("sh"))
@@ -447,8 +463,11 @@ def ngram_jaccard_sql() -> str:
         lambda j: f"list_transform(_shas, s -> "
         f"('0x' || substring(s, {1 + 15 * j}, {H}))::BIGINT)"
     )
+    # mirror the Spark order: min over hex strings, ONE cast on the winner
     min_cols = ", ".join(
-        f"list_min({word(j)}) AS m{j}" for j in range(NGRAM_BANDS)
+        f"('0x' || list_min(list_transform(_shas, "
+        f"s -> substring(s, {1 + 15 * j}, {H}))))::BIGINT AS m{j}"
+        for j in range(NGRAM_BANDS)
     )
     long_union = " UNION ALL ".join(
         f"SELECT doc_id, lang, lb, {j} AS band, m{j} AS mh FROM d"
@@ -548,6 +567,28 @@ def ngram_jaccard_pairs_exact(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_jaccard_exact_sql() -> str:
+    """Oracle for the exact blocked variant (all-pairs inside blocks,
+    seed-7 hashed shingles — the pre-banding round-2 semantics)."""
+    hsh = h64_duckdb("x", seed=7)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, (n_chars // {LEN_BUCKET})::INT AS lb,
+         list_distinct(list_transform({_shingles_duck()}, x -> {hsh})) AS sh
+  FROM documents
+), s AS (SELECT *, len(sh) AS nsh FROM d)
+SELECT a, b, jaccard FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+               (l.nsh + r.nsh - len(list_intersect(l.sh, r.sh))), 4) AS jaccard
+  FROM s l JOIN s r
+    ON l.lang = r.lang AND l.lb = r.lb AND l.doc_id < r.doc_id
+   AND least(l.nsh, r.nsh) * 10 >= greatest(l.nsh, r.nsh) * 3
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
 
 
 # ------------------------------------------------- embedding cosine near-dup
