@@ -612,14 +612,32 @@ def ivf_k_for(n_vectors: int) -> int:
     return max(IVF_K, math.isqrt(max(n_vectors, 1)))
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embedding pairs within the same label block (the
-    blocking key stands in for an IVF cell at scale); cosine ≥ threshold.
-    All math in double, summed left-to-right via F.aggregate."""
+EMB_BLOCK_CAP = 100_000
+
+
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, block_cap: int = EMB_BLOCK_CAP
+) -> DataFrame:
+    """Near-duplicate embedding pairs within the same label block; cosine
+    ≥ threshold. All math in double, summed left-to-right via F.aggregate.
+
+    The label-blocked pair join is all-pairs INSIDE a block — O(block²)
+    dot products. Like ngram_jaccard_pairs_exact it refuses to run when
+    any label block exceeds ``block_cap`` (loud failure instead of a
+    quadratic melt at 10^10 vectors); unbounded corpora should use
+    embedding_ivf_neardup (k ≈ √N cells, SCALE.md sizing)."""
     e = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     )
+    biggest = e.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    if biggest is not None and biggest > block_cap:
+        raise ValueError(
+            f"embedding_neardup: largest label block has {biggest} vectors "
+            f"> block_cap={block_cap}; the in-block all-pairs cosine is "
+            f"O(block²) — use embedding_ivf_neardup (k≈√N cells) or raise "
+            f"block_cap only if ~{biggest}²/2 dot products are acceptable"
+        )
     l = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"))
     r = e.select(F.col("vec_id").alias("b"), "label", F.col("v").alias("vb"))
     dot = F.aggregate(

@@ -58,3 +58,8 @@ def test_ann_ivf_parameterized(spark):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= ts.TOP_K
+
+
+def test_embedding_neardup_block_cap_fails_loudly(spark):
+    with pytest.raises(ValueError, match="block_cap"):
+        td.embedding_neardup(spark, SF, block_cap=1).collect()
