@@ -97,6 +97,27 @@ class StreamingCrawlEngine:
             )
         return self.spark.createDataFrame([], schemas.SEEN)
 
+    def _compact_seen(self, batch_id: int) -> None:
+        """Merge the per-batch seen deltas into one snapshot directory —
+        the streaming analog of CheckpointStore.compact_seen. Without it
+        every batch's entry-dedup join reads O(#batches) directories; a
+        long-running stream degrades linearly. Crash-safe: the tmp dir is
+        a parquet dir under the same glob, so a crash between the write
+        and the delta removal at worst double-lists rows (seen is a set —
+        the anti-join is idempotent)."""
+        import shutil
+
+        olds = sorted(os.listdir(self._seen_dir))
+        if len(olds) < 2:
+            return
+        tmp = os.path.join(self._seen_dir, f"compact_{batch_id}_tmp")
+        self._read_seen().dropDuplicates(["fingerprint"]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for d in olds:
+            shutil.rmtree(os.path.join(self._seen_dir, d), ignore_errors=True)
+        os.rename(tmp, os.path.join(self._seen_dir, f"compact_{batch_id}"))
+
     def _emit_frontier(self, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(
             os.path.join(self._in_dir, f"gen_{uuid.uuid4().hex}")
@@ -115,7 +136,15 @@ class StreamingCrawlEngine:
 
         # ---- entry dedup (at-least-once safety): replayed batches and
         # URLs discovered by two in-flight generations collapse here —
-        # against the persisted seen set AND within the batch
+        # against the persisted seen set AND within the batch.
+        # foreachBatch is serialized, so compaction at a batch boundary
+        # cannot race a concurrent reader.
+        if (
+            cfg.compact_seen_every
+            and batch_id > 0
+            and batch_id % cfg.compact_seen_every == 0
+        ):
+            self._compact_seen(int(batch_id))
         seen = self._read_seen()
         batch = (
             batch.join(seen.select("fingerprint"), "fingerprint", "left_anti")

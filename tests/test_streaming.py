@@ -174,3 +174,42 @@ def test_streaming_starvation_guard_parks_and_terminates(
     }
     assert starved not in fetched_hosts
     assert fetched_hosts  # unaffected hosts still crawled
+
+
+def test_streaming_seen_compaction(spark, tmp_path_factory):
+    """compact_seen_every merges per-batch seen deltas so the entry-dedup
+    read stays O(1) directories on a long stream; final state unchanged."""
+    import os
+
+    rows = sitegen.gen_pages_rows(range(N_PAGES), N_PAGES, N_SITES, SEED)
+    pages = spark.createDataFrame(rows, schemas.PAGES)
+    seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
+    wd = str(tmp_path_factory.mktemp("stream_compact"))
+    out = StreamingCrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=wd,
+            use_robots=False,
+            default_host_budget=10**9,
+            compact_seen_every=2,
+        ),
+    ).run(pages, idle_timeout_s=15.0)
+
+    bsp = CrawlEngine(
+        spark,
+        Spider(start_urls=seeds),
+        CrawlConfig(
+            workdir=str(tmp_path_factory.mktemp("bsp_c")),
+            max_epochs=20,
+            use_robots=False,
+            default_host_budget=10**9,
+        ),
+    ).run(pages)
+    st_seen = {r["fingerprint"] for r in out["seen"].collect()}
+    assert st_seen == {r["fingerprint"] for r in bsp.seen().collect()}
+    # deltas were merged: far fewer dirs than batches processed, and at
+    # least one compact_* snapshot exists
+    dirs = os.listdir(os.path.join(wd, "stream_seen"))
+    assert any(d.startswith("compact_") for d in dirs)
+    assert not any(d.endswith("_tmp") for d in dirs)
