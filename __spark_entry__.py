@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_exact": td.ngram_jaccard_pairs_exact,
         "dedup_embedding_cosine": td.embedding_neardup,
         "dedup_embedding_ivf": td.embedding_ivf_neardup,
+        "dedup_neardup_clusters": td.neardup_clusters,
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": ta.doc_fingerprint,
         "text_vocab_topk": ta.vocab_topk,
         "text_corpus_keepers": ta.corpus_keepers,
+        "text_corpus_sample": ta.corpus_sample_stratified,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -143,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_exact": td.ngram_jaccard_exact_sql(),
         "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
         "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
+        "dedup_neardup_clusters": td.neardup_clusters_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
         "ann_ivf_topk": ts.ANN_IVF_SQL,
@@ -152,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
         "text_vocab_topk": ta.vocab_topk_sql(),
         "text_corpus_keepers": ta.corpus_keepers_sql(),
+        "text_corpus_sample": ta.corpus_sample_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

@@ -231,3 +231,55 @@ SELECT d.doc_id, d.lang, d.n_chars, q.quality_score
 FROM documents d JOIN k USING (doc_id) JOIN q ON q.doc_id = d.doc_id
 WHERE q.quality_score >= {QUALITY_KEEP_MIN}
 """
+
+
+# --------------------------------------------------- stratified sampling
+# Per-language corpus mixing rates (a training-data pipeline's "data
+# mixture"): fraction of docs kept per lang, decided by a DETERMINISTIC
+# hash threshold — no RNG, so the sample is reproducible across runs,
+# engines and partitionings (the property a 100 TB sampling job needs:
+# re-running a failed stage must pick the SAME rows).
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "de": 0.25, "fr": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+_SAMPLE_MOD = 10_000
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: keep doc iff
+    h64('smp:' || doc_id) mod 10000 < rate(lang)·10000. The hash is the
+    shared sha-derived h64 primitive, so the DuckDB oracle selects the
+    bit-identical row set. One narrow scan, no shuffle, fully
+    partition-parallel — sampling 100 TB costs one pruned pass."""
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = F.pmod(
+        F.expr(_h64_spark("cast(doc_id as string)", 77)), F.lit(_SAMPLE_MOD)
+    )
+    return (
+        d.withColumn("_rate", rate)
+        .filter(bucket < (F.col("_rate") * _SAMPLE_MOD).cast("long"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def corpus_sample_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=77)
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}"
+        for lang, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         CASE {cases} ELSE {SAMPLE_DEFAULT_RATE} END AS _rate,
+         {h} % {_SAMPLE_MOD} AS _bucket
+  FROM documents
+)
+WHERE _bucket < CAST(_rate * {_SAMPLE_MOD} AS BIGINT)
+"""

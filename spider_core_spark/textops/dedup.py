@@ -754,3 +754,92 @@ WHERE cos >= {COSINE_THRESHOLD}
 
 
 EMBEDDING_IVF_SQL = embedding_ivf_sql()  # default-k oracle (sf0.01 gate)
+
+
+# ------------------------------------------------- near-dup clustering
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph: each
+    near-dup cluster gets a canonical id (the minimum doc_id in the
+    component) and a keeper flag — the step a corpus-prep pipeline runs
+    AFTER pair generation ("keep one document per near-dup cluster").
+
+    Spark-first shape: deterministic min-label propagation — labels start
+    as doc_id, each iteration joins the (bidirected) edge list against
+    the current labels and takes the per-vertex minimum of (own label,
+    neighbors' labels); repeat until a fixpoint. One shuffle join per
+    iteration; converges in O(component diameter) iterations, and
+    near-dup components are shallow (dup clusters are cliques or near-
+    cliques from shared bands), so 2-4 iterations in practice. At
+    10^10-edge scale the same loop holds (edges partitioned by dst; for
+    adversarially long chains switch to large-star/small-star — same
+    join primitives). Driver state is O(1): a changed-count per
+    iteration, labels live in DataFrames with per-iteration
+    localCheckpoint to break lineage.
+
+    Output: (doc_id, cluster_id, is_keeper) for every doc appearing in
+    ≥1 candidate pair. Deterministic → full DuckDB oracle (recursive
+    CTE reachability, min label per vertex)."""
+    pairs = minhash_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .persist()
+    )
+    labels.count()
+    while True:
+        prop = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        nxt = (
+            labels.join(prop, labels["v"] == prop["src"], "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+                F.col("lbl").alias("_old"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)  # break iterative lineage
+        changed = nxt.filter(F.col("lbl") != F.col("_old")).count()
+        labels.unpersist()
+        labels = nxt.select("v", "lbl").persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("v") == F.col("lbl")).alias("is_keeper"),
+    )
+
+
+def neardup_clusters_sql() -> str:
+    """Recursive-CTE oracle: min reachable label per vertex over the
+    bidirected candidate-pair graph."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({minhash_pairs_sql()}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(v, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst
+)
+SELECT v AS doc_id, min(lbl) AS cluster_id,
+       (v = min(lbl)) AS is_keeper
+FROM reach GROUP BY v
+"""
