@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": ta.vocab_topk,
         "text_corpus_keepers": ta.corpus_keepers,
         "text_corpus_sample": ta.corpus_sample_stratified,
+        "text_repetition": ta.repetition_scores,
+        "text_corpus_stats": ta.corpus_stats,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_topk": ta.vocab_topk_sql(),
         "text_corpus_keepers": ta.corpus_keepers_sql(),
         "text_corpus_sample": ta.corpus_sample_sql(),
+        "text_repetition": ta.repetition_scores_sql(),
+        "text_corpus_stats": ta.CORPUS_STATS_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

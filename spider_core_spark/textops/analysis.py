@@ -283,3 +283,94 @@ SELECT doc_id, lang, n_chars FROM (
 )
 WHERE _bucket < CAST(_rate * {_SAMPLE_MOD} AS BIGINT)
 """
+
+
+# ------------------------------------------------------ repetition scoring
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals — the standard "repetitive junk" quality
+    gate for training corpora (boilerplate, keyword stuffing, generation
+    loops): top_tok_ratio = most frequent token's share of all tokens;
+    uniq_trigram_ratio = distinct 3-gram share. Both from ONE explode +
+    map-side-combinable groupBy pair — no per-row quadratic scan, shuffle
+    keyed by (doc_id, token) which is near-unique (no skew)."""
+    from spider_core_spark.textops.dedup import _shingles_spark
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("split(text, ' ')").alias("_toks")
+    )
+    tok_stats = (
+        d.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("_top"),
+            F.sum("count").alias("n_tokens"),
+        )
+    )
+    tri = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(_shingles_spark("_toks")))).alias("_uniq"),
+        F.size(F.expr(_shingles_spark("_toks"))).alias("_tot"),
+    )
+    return (
+        tok_stats.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long"),
+            F.round(F.col("_top") / F.col("n_tokens"), 4).alias("top_tok_ratio"),
+            F.round(F.col("_uniq") / F.col("_tot"), 4).alias("uniq_trigram_ratio"),
+        )
+    )
+
+
+def repetition_scores_sql() -> str:
+    from spider_core_spark.textops.dedup import _shingles_duck
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+ts AS (
+  SELECT doc_id, max(c) AS _top, sum(c) AS n_tokens
+  FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         len(list_distinct({_shingles_duck()})) AS _uniq,
+         len({_shingles_duck()}) AS _tot
+  FROM documents
+)
+SELECT ts.doc_id, n_tokens::BIGINT AS n_tokens,
+       round(_top::DOUBLE / n_tokens, 4) AS top_tok_ratio,
+       round(_uniq::DOUBLE / _tot, 4) AS uniq_trigram_ratio
+FROM ts JOIN tri ON tri.doc_id = ts.doc_id
+"""
+
+
+# ----------------------------------------------------------- corpus stats
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report (the mixing table a data-curation run
+    reads before choosing SAMPLE_RATES): doc count, total/average chars,
+    total whitespace tokens. One map-side-combinable groupBy over a
+    3-column pruned scan."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_ws_tokens"
+        ),
+    )
+
+
+CORPUS_STATS_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens
+FROM documents GROUP BY lang
+"""
