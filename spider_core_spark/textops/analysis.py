@@ -308,10 +308,15 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("count").alias("n_tokens"),
         )
     )
+    # stage the shingle array once — two references in one Project would
+    # evaluate the transform twice per row (CollapseProject only protects
+    # aliases staged in a LOWER Project)
     tri = d.select(
+        "doc_id", F.expr(_shingles_spark("_toks")).alias("_sh")
+    ).select(
         "doc_id",
-        F.size(F.array_distinct(F.expr(_shingles_spark("_toks")))).alias("_uniq"),
-        F.size(F.expr(_shingles_spark("_toks"))).alias("_tot"),
+        F.size(F.array_distinct("_sh")).alias("_uniq"),
+        F.size("_sh").alias("_tot"),
     )
     return (
         tok_stats.join(tri, "doc_id")
@@ -337,10 +342,8 @@ ts AS (
   GROUP BY doc_id
 ),
 tri AS (
-  SELECT doc_id,
-         len(list_distinct({_shingles_duck()})) AS _uniq,
-         len({_shingles_duck()}) AS _tot
-  FROM documents
+  SELECT doc_id, len(list_distinct(_sh)) AS _uniq, len(_sh) AS _tot
+  FROM (SELECT doc_id, {_shingles_duck()} AS _sh FROM documents)
 )
 SELECT ts.doc_id, n_tokens::BIGINT AS n_tokens,
        round(_top::DOUBLE / n_tokens, 4) AS top_tok_ratio,
