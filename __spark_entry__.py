@@ -82,8 +82,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": td.simhash_pairs,
         "dedup_ngram_jaccard": td.ngram_jaccard_pairs,
         "dedup_ngram_exact": td.ngram_jaccard_pairs_exact,
-        "dedup_embedding_cosine": td.embedding_neardup,
-        "dedup_embedding_ivf": td.embedding_ivf_neardup,
+        # registered at COSINE_REGISTERED (0.35): the 0.9 default yields 0
+        # expected rows on this fixture — a vacuous hash match (r3 #2)
+        "dedup_embedding_cosine": lambda spark, sf: td.embedding_neardup(
+            spark, sf, threshold=td.COSINE_REGISTERED
+        ),
+        "dedup_embedding_ivf": lambda spark, sf: td.embedding_ivf_neardup(
+            spark, sf, threshold=td.COSINE_REGISTERED
+        ),
         "dedup_neardup_clusters": td.neardup_clusters,
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
@@ -96,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": ta.doc_fingerprint,
         "text_vocab_topk": ta.vocab_topk,
         "text_corpus_keepers": ta.corpus_keepers,
+        "text_corpus_keepers_neardup": ta.corpus_keepers_neardup,
         "text_corpus_sample": ta.corpus_sample_stratified,
         "text_repetition": ta.repetition_scores,
         "text_corpus_stats": ta.corpus_stats,
@@ -145,8 +152,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": td.simhash_pairs_sql(),
         "dedup_ngram_jaccard": td.ngram_jaccard_sql(),
         "dedup_ngram_exact": td.ngram_jaccard_exact_sql(),
-        "dedup_embedding_cosine": td.EMBEDDING_NEARDUP_SQL,
-        "dedup_embedding_ivf": td.EMBEDDING_IVF_SQL,
+        "dedup_embedding_cosine": td.embedding_neardup_sql(
+            threshold=td.COSINE_REGISTERED
+        ),
+        "dedup_embedding_ivf": td.embedding_ivf_sql(
+            threshold=td.COSINE_REGISTERED
+        ),
         "dedup_neardup_clusters": td.neardup_clusters_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
@@ -157,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": ta.DOC_FINGERPRINT_SQL,
         "text_vocab_topk": ta.vocab_topk_sql(),
         "text_corpus_keepers": ta.corpus_keepers_sql(),
+        "text_corpus_keepers_neardup": ta.corpus_keepers_neardup_sql(),
         "text_corpus_sample": ta.corpus_sample_sql(),
         "text_repetition": ta.repetition_scores_sql(),
         "text_corpus_stats": ta.CORPUS_STATS_SQL,

@@ -54,6 +54,8 @@ def run_queries(spark) -> dict[str, float]:
     SF_DIR; noop sink forces full compute."""
     import __spark_entry__ as em
 
+    from spider_core_spark.textops import dedup as td
+
     out = {}
     for name, fn in sorted(em.queries().items()):
         out[name] = timed(
@@ -62,6 +64,10 @@ def run_queries(spark) -> dict[str, float]:
             .mode("overwrite")
             .save()
         )
+        # caller-release contract for textops staged caches (r3 #4): each
+        # query's number is measured cold, nothing accumulates across the
+        # 49-query suite
+        td.release_staged_caches()
     return out
 
 
@@ -109,20 +115,29 @@ def run_scale_wave() -> dict | None:
     engine thresholds, so the 100×-critical code paths carry a measured
     number, not just unit tests. Runs in a fresh subprocess (own JVM with
     the steady-state tuning). SPIDER_BENCH_SCALE_PAGES=0 skips."""
+    import shutil
+    import statistics
     import subprocess
 
     n = int(os.environ.get("SPIDER_BENCH_SCALE_PAGES", "1500000"))
-    trials = int(os.environ.get("SPIDER_BENCH_SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("SPIDER_BENCH_SCALE_TRIALS", "3"))
     if n <= 0:
         return None
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_worker.py"
     )
+    # taskset-pin the worker tree to exactly CPUS cores (the gate
+    # protocol, r3 VERDICT #6): unpinned trials wander the whole socket
+    # and co-tenant steal makes best-of-2 spread 12.6k-36.7k urls/s —
+    # pinned median-of-3 is regression-detectable
+    pin = (
+        ["taskset", "-c", f"0-{CPUS - 1}"] if shutil.which("taskset") else []
+    )
     results = []
     for _ in range(trials):
         try:
             p = subprocess.run(
-                [sys.executable, worker, str(CPUS), str(n), "5", "steady"],
+                pin + [sys.executable, worker, str(CPUS), str(n), "5", "steady"],
                 capture_output=True,
                 text=True,
                 timeout=1800,
@@ -135,12 +150,13 @@ def run_scale_wave() -> dict | None:
             pass
     if not results:
         return None
-    # co-tenant steal on this shared VM can halve a single trial; the
-    # best of 2 cold runs is the honest capability figure — all trials
-    # are reported alongside it
-    best = max(results, key=lambda r: r["urls_per_sec"])
-    best["all_trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
-    return best
+    ranked = sorted(results, key=lambda r: r["urls_per_sec"])
+    med = ranked[len(ranked) // 2]  # median trial (by throughput)
+    med["all_trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
+    med["urls_per_sec_median"] = statistics.median(
+        r["urls_per_sec"] for r in results
+    )
+    return med
 
 
 def main():
@@ -163,7 +179,7 @@ def main():
     }
     if scale is not None:
         queries["crawl_scale_wave"] = scale["wall_s"]
-        result["scale_wave_urls_per_sec"] = scale["urls_per_sec"]
+        result["scale_wave_urls_per_sec"] = scale["urls_per_sec_median"]
         result["scale_wave_frontier"] = scale["n_pages"]
         result["scale_wave_trials"] = scale.get(
             "all_trials_urls_per_sec", [scale["urls_per_sec"]]

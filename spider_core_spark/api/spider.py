@@ -34,6 +34,15 @@ class Spider:
     # requests a priority (lower = fetched sooner; seeds stay 0) — the
     # priority-frontier hook. None = pure FIFO like the reference.
     priority_expr: str | None = None
+    # start_requests (reference src/spider.rs:112-121: start_requests()
+    # overridable separately from start_urls(), emitting full Requests):
+    # a list of dicts, each {"url": str, "priority": int = 0,
+    # "depth": int = 0, "not_before_epoch": int = 0,
+    # "meta": dict[str, str] | None = None}. Takes precedence over
+    # start_urls; list order = seq (FIFO tiebreak), and every row goes
+    # through the same normalize/fingerprint path as plain URL seeds.
+    # meta rides the frontier row and is visible to middlewares.
+    start_requests: list[dict] | None = None
 
     def build_items(self, parsed: DataFrame, epoch: int) -> DataFrame:
         """Parsed rows → items DataFrame (ITEMS schema). Override for custom

@@ -148,4 +148,7 @@ def link_candidates(
         F.lit(0).cast("int").alias("not_before_epoch"),
         F.lit("pending").alias("state"),
         F.lit(epoch + 1).cast("int").alias("epoch_added"),
+        # discovered links carry no user meta (only Spider.start_requests
+        # seeds do, reference src/spider.rs:112-121)
+        F.lit(None).cast("map<string,string>").alias("meta"),
     )

@@ -57,6 +57,14 @@ class SimConfig:
     # per-host 0.7/0.3 EMA of the epoch's average response time, budget
     # −1 above target / +1 below target/2 AFTER the error rule
     adaptive_time_target_ms: int | None = None
+    # GLOBAL adaptive wave sizing (engine: CrawlConfig.adaptive_wave —
+    # reference adjust_permits, src/concurrency.rs:87-134): one permit
+    # count, reference rule order (time term first on the 0.7/0.3 EMA of
+    # the cross-host mean, then error term −2/+1), effective wave cap =
+    # max_wave_size × permits / adaptive_wave_permits, permits ∈
+    # [1, 2×adaptive_wave_permits]
+    adaptive_wave: bool = False
+    adaptive_wave_permits: int = 8
     # Crawl-delay enforcement + per-host byte quota (same rules as the
     # engine: plans/config.py epoch_time_budget_ms / host_bytes_quota)
     epoch_time_budget_ms: int | None = None
@@ -106,17 +114,27 @@ def simulate(
     robots = robots or {}
     drop_re = re.compile(cfg.drop_url_pattern) if cfg.drop_url_pattern else None
 
-    # --- seed injection: list order, fragment stripped, intra-batch dedup
+    # --- seed injection: list order, fragment stripped, intra-batch dedup.
+    # A seed may be a plain URL string or a start_requests dict
+    # {"url", "priority", "depth", "not_before_epoch"} (reference
+    # src/spider.rs:112-121 — Spider.start_requests parity)
     frontier: list[_Req] = []
     seeded = set()
     _norm = canonicalize_url_py if cfg.canonicalize_urls else normalize_url_py
     for i, u in enumerate(seeds):
-        nu = _norm(u)
+        if isinstance(u, dict):
+            nu = _norm(u["url"])
+            prio = int(u.get("priority", 0))
+            depth = int(u.get("depth", 0))
+            nb = int(u.get("not_before_epoch", 0))
+        else:
+            nu = _norm(u)
+            prio, depth, nb = 0, 0, 0
         fp = fingerprint_py(nu)
         if fp in seeded:
             continue
         seeded.add(fp)
-        frontier.append(_Req(nu, fp, host_py(nu), 0, 0, i))
+        frontier.append(_Req(nu, fp, host_py(nu), depth, prio, i, 0, nb))
 
     seen: set[str] = set()
     orders: dict[int, list[str]] = {}
@@ -137,6 +155,8 @@ def simulate(
 
     adaptive: dict[str, int] = {}
     ema_ms: dict[str, float] = {}  # per-host response-time EMA (time term)
+    wave_permits = cfg.adaptive_wave_permits  # global permit count
+    wave_ema: float | None = None  # EMA of the cross-host mean time
     usage_bytes: dict[str, int] = {}  # cumulative, applied from next epoch
     epoch = 0
     while epoch < cfg.max_epochs and frontier:
@@ -200,9 +220,16 @@ def simulate(
             else:
                 over_budget.append(r)
 
-        # global wave cap (DEFER beyond max_wave_size)
-        wave = polite[: cfg.max_wave_size]
-        over_cap = polite[cfg.max_wave_size:]
+        # global wave cap (DEFER beyond the effective cap; adaptive_wave
+        # scales it with the global permit count)
+        eff_wave = cfg.max_wave_size
+        if cfg.adaptive_wave:
+            eff_wave = max(
+                1,
+                cfg.max_wave_size * wave_permits // cfg.adaptive_wave_permits,
+            )
+        wave = polite[:eff_wave]
+        over_cap = polite[eff_wave:]
         leftover = not_yet + over_budget + over_cap
 
         if not wave:
@@ -370,6 +397,30 @@ def simulate(
                         elif cur_ema < tgt / 2:
                             nxt = min(nxt + 1, cfg.default_host_budget)
                 adaptive[h] = nxt
+
+        # GLOBAL adaptive wave sizing (engine parity — reference
+        # adjust_permits rule order: time term FIRST, then error −2/+1)
+        if cfg.adaptive_wave and sent_h:
+            pmax = 2 * cfg.adaptive_wave_permits
+            if cfg.adaptive_time_target_ms is not None:
+                tms = [sum(v) / len(v) for v in times_h.values()]
+                if tms:
+                    m = sum(tms) / len(tms)
+                    wave_ema = (
+                        m if wave_ema is None else 0.7 * wave_ema + 0.3 * m
+                    )
+                if wave_ema is not None:
+                    tgt = float(cfg.adaptive_time_target_ms)
+                    if wave_ema > tgt:
+                        wave_permits = max(wave_permits - 1, 1)
+                    elif wave_ema < tgt / 2:
+                        wave_permits = min(wave_permits + 1, pmax)
+            ers = [err_h.get(h, 0) / n for h, n in sent_h.items()]
+            er = sum(ers) / len(ers)
+            if er > cfg.adaptive_error_hi:
+                wave_permits = max(wave_permits - 2, 1)
+            elif er < cfg.adaptive_error_lo:
+                wave_permits = min(wave_permits + 1, pmax)
 
         frontier = leftover + new_rows
         metrics[epoch] = {

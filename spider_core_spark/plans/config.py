@@ -104,6 +104,22 @@ class CrawlConfig:
     # (the round-2 behavior).
     adaptive_time_target_ms: int | None = None
 
+    # GLOBAL adaptive wave sizing — the reference's single global permit
+    # count (AdaptiveSemaphore: initial=base, max=2×base, min=1, adjusted
+    # per 5 s window from the CROSS-host average response time and error
+    # rate; src/concurrency.rs:87-134, spawn src/crawler/
+    # request_handler.rs:52-66). Here one adjustment per epoch, in the
+    # reference's exact rule order: time term first (−1 above target, +1
+    # below target/2, on the 0.7/0.3 EMA of the cross-host mean
+    # transport_ms), then the error term (−2 above adaptive_error_hi, +1
+    # below adaptive_error_lo). Effective wave cap =
+    # max_wave_size × permits / adaptive_wave_permits, permits ∈
+    # [1, 2×adaptive_wave_permits]. Deterministic → simulator-mirrored.
+    # The time term needs a fetcher emitting transport_ms plus
+    # adaptive_time_target_ms; the error term is always live.
+    adaptive_wave: bool = False
+    adaptive_wave_permits: int = 8
+
     # statuses considered fetch success (mark-as-visited happens only after
     # success, src/crawler/request_handler.rs:352-362)
     success_max_status: int = 399

@@ -157,9 +157,14 @@ GROUP BY 1
 
 
 # --- J2: anti-join dedup (URL-seen) -----------------------------------------
+# the "seen set" is orders filtered to URGENT priority so the expected
+# output is NON-empty at sf0.01 (~200 rows) — an anti-join against all
+# orders matches every customer and verifies nothing (VERDICT r3 #2)
 def j2_anti_dedup(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(
         o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
     ).select("c_custkey", "c_name")
@@ -167,7 +172,9 @@ def j2_anti_dedup(spark, sf_dir):
 
 J2_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT'
+                          AND o_custkey IS NOT NULL)
 """
 
 
@@ -187,17 +194,23 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 200000
 
 
 # --- P2: dedup predicate (first-seen-after-cutoff anti join) ----------------
+# cutoff on day 2: every user active by mid-month makes later cutoffs
+# vacuous (0 expected rows at sf0.01); day 2 leaves ~16 genuinely new
+# users, so the anti-join dedup path is actually exercised
+P2_CUTOFF = "2024-01-02 00:00:00"
+
+
 def p2_first_seen(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cutoff = F.lit(P2_CUTOFF).cast("timestamp")
     before = e.filter(F.col("ts") < cutoff).select("user_id").distinct()
     after = e.filter(F.col("ts") >= cutoff).select("user_id").distinct()
     return after.join(before, "user_id", "left_anti")
 
 
-P2_SQL = """
-SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+P2_SQL = f"""
+SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '{P2_CUTOFF}'
+AND user_id NOT IN (SELECT user_id FROM events WHERE ts < TIMESTAMP '{P2_CUTOFF}')
 """
 
 

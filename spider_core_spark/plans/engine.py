@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -189,12 +189,39 @@ class CrawlEngine:
         """F0 seed injection (src/crawler/core.rs:378-405): list order →
         seq, fragment stripped before enqueue (:391), intra-batch dedup.
         Accepts a (url, seq) DataFrame for large seed lists — at a 10^10
-        frontier the seed list is itself a table, never a driver list."""
+        frontier the seed list is itself a table, never a driver list.
+        Spider.start_requests (src/spider.rs:112-121) supplies full seed
+        Requests with per-seed priority/depth/not_before_epoch/meta; all
+        paths normalize through the same with_url_columns."""
+        meta_t = "map<string,string>"
         if seeds_df is not None:
-            seeds = seeds_df.select("url", F.col("seq").cast("long"))
+            seeds = seeds_df
+        elif self.spider.start_requests is not None:
+            rows = [
+                (
+                    r["url"],
+                    i,
+                    int(r.get("priority", 0)),
+                    int(r.get("depth", 0)),
+                    int(r.get("not_before_epoch", 0)),
+                    r.get("meta"),
+                )
+                for i, r in enumerate(self.spider.start_requests)
+            ]
+            seeds = self.spark.createDataFrame(
+                rows,
+                "url string, seq long, priority int, depth int, "
+                f"not_before_epoch int, meta {meta_t}",
+            )
         else:
             rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
             seeds = self.spark.createDataFrame(rows, "url string, seq long")
+
+        def _opt(name: str, default):
+            return (
+                F.col(name) if name in seeds.columns else default
+            )
+
         df = urlfn.with_url_columns(
             seeds, canonicalize=self.config.canonicalize_urls
         ).select(
@@ -202,13 +229,16 @@ class CrawlEngine:
             "fingerprint",
             "host",
             "host_hash",
-            F.lit(0).cast("int").alias("depth"),
-            F.lit(0).cast("int").alias("priority"),
-            F.col("seq"),
+            _opt("depth", F.lit(0)).cast("int").alias("depth"),
+            _opt("priority", F.lit(0)).cast("int").alias("priority"),
+            F.col("seq").cast("long"),
             F.lit(0).cast("int").alias("retry_count"),
-            F.lit(0).cast("int").alias("not_before_epoch"),
+            _opt("not_before_epoch", F.lit(0)).cast("int").alias(
+                "not_before_epoch"
+            ),
             F.lit("pending").alias("state"),
             F.lit(0).cast("int").alias("epoch_added"),
+            _opt("meta", F.lit(None)).cast(meta_t).alias("meta"),
         )
         if self.config.validate_seeds:
             # S1 (src/spider.rs:118-120): a seed that yields no parseable
@@ -247,6 +277,13 @@ class CrawlEngine:
             ),
             F.lit("pending").alias("state"),
             F.lit(epoch + 1).cast("int").alias("epoch_added"),
+            # meta survives retry re-queues (request-chain retries read it
+            # off the wave; response-chain retries off the carried columns)
+            (
+                F.col("meta")
+                if "meta" in tagged.columns
+                else F.lit(None).cast("map<string,string>")
+            ).alias("meta"),
         )
 
     # ------------------------------------------------------------ main loop
@@ -258,9 +295,12 @@ class CrawlEngine:
         seeds_df: DataFrame | None = None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.config
-        if cfg.max_wave_size > frontier_ops.MAX_PARENT_RANK:
+        # adaptive_wave can double the effective wave (permits up to
+        # 2×permits0) — validate against the DOUBLED cap
+        wave_ceiling = cfg.max_wave_size * (2 if cfg.adaptive_wave else 1)
+        if wave_ceiling > frontier_ops.MAX_PARENT_RANK:
             raise ValueError(
-                f"max_wave_size {cfg.max_wave_size} exceeds the seq "
+                f"max wave size {wave_ceiling} exceeds the seq "
                 f"packing's parent-rank capacity {frontier_ops.MAX_PARENT_RANK}"
                 " (operators/frontier.py seq layout)"
             )
@@ -289,6 +329,18 @@ class CrawlEngine:
         store = CheckpointStore(spark, cfg.workdir)
         fetcher = self.fetcher or JoinFetcher(
             pages, cfg.extra.get("response_persist", "MEMORY_AND_DISK")
+        )
+        # Request-side SERVE rows must NEVER reach a live transport (the
+        # ServeFromCacheRequest contract: "requests matching the predicate
+        # are not sent", reference request_handler.rs:224-251). With the
+        # default JoinFetcher the fetch join IS the cache lookup, so SERVE
+        # rows may ride it; with a custom fetcher (e.g. HttpFetcher) they
+        # are split out pre-fetch and resolved against the pages/cache
+        # table by this dedicated JoinFetcher instead.
+        serve_fetcher = (
+            JoinFetcher(pages, "MEMORY_AND_DISK")
+            if self.fetcher is not None
+            else None
         )
         par = max(spark.sparkContext.defaultParallelism, 2)
         t_run0 = time.monotonic()
@@ -436,14 +488,30 @@ class CrawlEngine:
         last_epoch_done = epoch0 - 1
         jump_cached = None  # leftover cache from an empty-wave epoch jump
         last_manifest: dict | None = None  # pending (uncommitted) manifest
+        # global adaptive wave sizing state (reference AdaptiveSemaphore's
+        # single permit count + its cross-endpoint EMA; ephemeral like the
+        # reference — checkpoints do not capture semaphore state)
+        wave_permits = cfg.adaptive_wave_permits
+        wave_ema_ms: float | None = None
         while epoch < cfg.max_epochs:
             t0 = time.monotonic()
             with _T("seen_read"):
                 seen = store.read_seen(epoch - 1)
 
             with _T("select_wave"):
+                sel_cfg = cfg
+                if cfg.adaptive_wave:
+                    # effective cap scales with the global permit count
+                    eff_wave = max(
+                        1,
+                        cfg.max_wave_size
+                        * wave_permits
+                        // cfg.adaptive_wave_permits,
+                    )
+                    sel_cfg = dc_replace(cfg, max_wave_size=eff_wave)
                 sel = frontier_ops.select_wave(
-                    frontier, robots, epoch, cfg, detail, _effective_budgets()
+                    frontier, robots, epoch, sel_cfg, detail,
+                    _effective_budgets(),
                 )
             wave = sel.wave
             n_wave = sel.n_wave
@@ -462,6 +530,10 @@ class CrawlEngine:
                     leftover.unpersist()
                     break  # nothing can ever become eligible (maxed depth)
                 frontier = leftover
+                if jump_cached is not None and jump_cached is not leftover:
+                    # consecutive jumps: previous jump's cache is released
+                    # once the new leftover is materialized (count above)
+                    jump_cached.unpersist()
                 jump_cached = leftover  # released after the next commit
                 epoch = nb  # jump over empty retry-delay epochs
                 continue
@@ -508,12 +580,35 @@ class CrawlEngine:
             slim = to_fetch.select(
                 "url", "depth", "priority", "seq", "retry_count",
                 "not_before_epoch", "epoch_added", "wave_rank", "_req_served",
+                "meta",  # mostly-NULL map (seed rows only) — negligible
+                # broadcast weight; keeps meta visible to the response
+                # chain and retry re-queues
             )
-            responses, _misses = fetcher.fetch(
-                slim,
-                broadcast_wave=n_wave <= cfg.broadcast_wave_max,
-                persist=False,
-            )
+            if serve_fetcher is not None and int(rqc.get(mw.SERVE, 0)) > 0:
+                # custom fetcher + request-side SERVE: served rows resolve
+                # from the cache table (never sent to the transport); live
+                # rows go to the custom fetcher; union preserves the
+                # downstream contract (transport_ms stays NULL for cache
+                # serves — a cache hit has no transport exchange)
+                live_resp, _misses = fetcher.fetch(
+                    slim.filter(~F.col("_req_served")),
+                    broadcast_wave=n_wave <= cfg.broadcast_wave_max,
+                    persist=False,
+                )
+                served_resp, _ = serve_fetcher.fetch(
+                    slim.filter(F.col("_req_served")),
+                    broadcast_wave=True,
+                    persist=False,
+                )
+                responses = live_resp.unionByName(
+                    served_resp, allowMissingColumns=True
+                )
+            else:
+                responses, _misses = fetcher.fetch(
+                    slim,
+                    broadcast_wave=n_wave <= cfg.broadcast_wave_max,
+                    persist=False,
+                )
             responses = responses.withColumn(
                 "fingerprint", urlfn.fingerprint_col(F.col("url"))
             ).withColumn("host", urlfn.host_col(F.col("url"))).withColumn(
@@ -886,7 +981,18 @@ class CrawlEngine:
                 the reference's response-time term applies on a 0.7/0.3 EMA:
                 budget −1 above the target, +1 below target/2
                 (src/concurrency.rs:112-122; EMA coefficients :59-61, here
-                per-epoch-average instead of per-sample)."""
+                per-epoch-average instead of per-sample).
+
+                DELIBERATE DIVERGENCE from concurrency.rs rule order: the
+                reference applies the time term FIRST, then the error rule,
+                and subtracts 2 (not halves) on >10% errors; this engine
+                applies halve/double THEN the ±1 time term. Engine ≡
+                simulator (oracle/simulator.py mirrors this exact order), so
+                parity tests pin the behavior; final budgets can differ
+                from the reference where both rules fire in one window —
+                multiplicative error response recovers a per-HOST budget
+                faster at epoch granularity than the reference's per-5s −2
+                step, which is tuned for a single global permit count."""
                 has_time = (
                     cfg.adaptive_time_target_ms is not None
                     and "transport_ms" in rs.columns
@@ -1014,6 +1120,76 @@ class CrawlEngine:
             if cfg.use_bloom and delta is not None:
                 blooms = dedup_ops.merge_bloom_shards(blooms or {}, delta)
             n_seen += n_ok
+
+            # ---- global adaptive wave sizing (reference adjust_permits,
+            # src/concurrency.rs:87-134): ONE permit count driven by the
+            # cross-host averages, reference rule order — time term first
+            # (−1 above target / +1 below target/2 on the 0.7/0.3 EMA of
+            # the cross-host mean), then error term (−2 above 10% / +1
+            # below 1%). Epoch = the reference's 5 s adjustment window;
+            # per-host A8 budgets are computed independently and unchanged.
+            if cfg.adaptive_wave:
+                with _T("adaptive_wave"):
+                    has_t = (
+                        cfg.adaptive_time_target_ms is not None
+                        and "transport_ms" in rs.columns
+                    )
+                    aw_sent = to_fetch.groupBy("host").agg(
+                        F.count("*").alias("n_sent")
+                    )
+                    t_aggs = (
+                        [F.avg("transport_ms").alias("t_avg")] if has_t else []
+                    )
+                    aw_resp = rs.groupBy("host").agg(
+                        F.count("*").alias("n_resp"),
+                        F.coalesce(
+                            F.sum(
+                                F.when(
+                                    F.col("status") > cfg.success_max_status,
+                                    1,
+                                ).otherwise(0)
+                            ),
+                            F.lit(0),
+                        ).alias("n_err"),
+                        *t_aggs,
+                    )
+                    aw = aw_sent.join(aw_resp, "host", "left").select(
+                        (
+                            (
+                                F.col("n_sent")
+                                - F.coalesce(F.col("n_resp"), F.lit(0))
+                                + F.coalesce(F.col("n_err"), F.lit(0))
+                            )
+                            / F.col("n_sent")
+                        ).alias("er"),
+                        *([F.col("t_avg")] if has_t else []),
+                    )
+                    aw_row = aw.agg(
+                        F.avg("er").alias("er"),
+                        *([F.avg("t_avg").alias("tm")] if has_t else []),
+                    ).collect()[0]
+                    pmax = 2 * cfg.adaptive_wave_permits
+                    if aw_row["er"] is not None:  # endpoint_count > 0 guard
+                        if has_t and aw_row["tm"] is not None:
+                            wave_ema_ms = (
+                                float(aw_row["tm"])
+                                if wave_ema_ms is None
+                                else 0.7 * wave_ema_ms + 0.3 * float(aw_row["tm"])
+                            )
+                        if (
+                            cfg.adaptive_time_target_ms is not None
+                            and wave_ema_ms is not None
+                        ):
+                            tgt = float(cfg.adaptive_time_target_ms)
+                            if wave_ema_ms > tgt:
+                                wave_permits = max(wave_permits - 1, 1)
+                            elif wave_ema_ms < tgt / 2:
+                                wave_permits = min(wave_permits + 1, pmax)
+                        aw_er = float(aw_row["er"])
+                        if aw_er > cfg.adaptive_error_hi:
+                            wave_permits = max(wave_permits - 2, 1)
+                        elif aw_er < cfg.adaptive_error_lo:
+                            wave_permits = min(wave_permits + 1, pmax)
             if (
                 cfg.compact_seen_every
                 and (epoch + 1) % cfg.compact_seen_every == 0
@@ -1074,6 +1250,12 @@ class CrawlEngine:
             epoch += 1
             if getattr(self, "_stop_requested", False):
                 break  # graceful stop: epoch committed, exit the loop
+
+        # any break path (drained frontier, dead-epoch jump past
+        # max_epochs, graceful stop) may exit with an un-released jump
+        # cache — the commit-block release only runs on full epochs
+        if jump_cached is not None:
+            jump_cached.unpersist()
 
         # final checkpoint (reference src/crawler/core.rs:332-357): if the
         # periodic cadence skipped the last epoch, commit it now

@@ -46,6 +46,11 @@ FRONTIER = T.StructType(
         T.StructField("not_before_epoch", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),  # pending|salvaged
         T.StructField("epoch_added", T.IntegerType(), False),
+        # per-request user metadata (reference Request meta read by
+        # middlewares; populated by Spider.start_requests seeds — discovered
+        # links carry NULL). Visible to the request middleware chain and
+        # carried through fetch to the response chain / retry re-queues.
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 

@@ -335,6 +335,7 @@ class StreamingCrawlEngine:
             F.lit(0).cast("int").alias("not_before_epoch"),
             F.lit("pending").alias("state"),
             F.lit(0).cast("int").alias("epoch_added"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
         ).dropDuplicates(["fingerprint"])
         self._emit_frontier(seeds)
 

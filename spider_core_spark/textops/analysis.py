@@ -233,6 +233,65 @@ WHERE q.quality_score >= {QUALITY_KEEP_MIN}
 """
 
 
+# ------------------------------------- corpus-clean incl. NEAR-dup clusters
+def corpus_keepers_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep composition (VERDICT r3 next #5): exact-dup
+    keepers ∩ near-dup-cluster keepers ∩ quality ≥ threshold. A doc
+    survives iff it is (a) the min-doc_id copy of its exact content hash,
+    (b) NOT a non-keeper member of a MinHash near-dup cluster (docs in no
+    candidate pair are trivially keepers), and (c) above the quality bar.
+    The near-dup side reuses neardup_clusters (min-label propagation over
+    the banded candidate graph); the anti-join against the non-keeper set
+    is wave-sized, not corpus-sized — at 100 TB the candidate graph holds
+    only docs that share a band, a tiny fraction of the corpus."""
+    from spider_core_spark.textops.dedup import exact_dedup, neardup_clusters
+
+    d = _docs(spark, sf_dir)
+    keepers = exact_dedup(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    non_keep = (
+        neardup_clusters(spark, sf_dir)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return (
+        d.join(keepers, "doc_id")
+        .join(q, "doc_id")
+        .join(non_keep, "doc_id", "left_anti")
+        .filter(F.col("quality_score") >= QUALITY_KEEP_MIN)
+        .select("doc_id", "lang", "n_chars", "quality_score")
+    )
+
+
+def corpus_keepers_neardup_sql() -> str:
+    from spider_core_spark.textops.dedup import minhash_pairs_sql
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({minhash_pairs_sql()}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+reach(v, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst
+),
+nonkeep AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(lbl)
+),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+q AS (SELECT doc_id, quality_score FROM ({quality_score_sql()}))
+SELECT d.doc_id, d.lang, d.n_chars, q.quality_score
+FROM documents d JOIN k USING (doc_id) JOIN q ON q.doc_id = d.doc_id
+WHERE q.quality_score >= {QUALITY_KEEP_MIN}
+  AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+"""
+
+
 # --------------------------------------------------- stratified sampling
 # Per-language corpus mixing rates (a training-data pipeline's "data
 # mixture"): fraction of docs kept per lang, decided by a DETERMINISTIC
@@ -246,9 +305,9 @@ _SAMPLE_MOD = 10_000
 
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sample: keep doc iff
-    h64('smp:' || doc_id) mod 10000 < rate(lang)·10000. The hash is the
-    shared sha-derived h64 primitive, so the DuckDB oracle selects the
-    bit-identical row set. One narrow scan, no shuffle, fully
+    h64(doc_id, seed=77) mod 10000 < rate(lang)·10000. The hash is the
+    shared sha-derived h64 primitive (seed-77 '77:' prefix in both
+    engines), so the DuckDB oracle selects the bit-identical row set. One narrow scan, no shuffle, fully
     partition-parallel — sampling 100 TB costs one pruned pass."""
     from spider_core_spark.textops.dedup import _h64_spark
 
@@ -372,7 +431,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_STATS_SQL = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       sum(n_chars)::BIGINT AS total_chars,
        round(avg(n_chars), 2) AS avg_chars,
        sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens
 FROM documents GROUP BY lang

@@ -49,3 +49,27 @@ def test_no_cache_growth_over_pipelined_crawl(spark, tmp_path):
         f"cache grew by {after - before} persisted DataFrames over "
         f"{res.epochs_run} epochs"
     )
+
+
+def test_textops_staged_caches_released(spark):
+    """VERDICT r3 #3/#4: the textops staged digest/band frames (and
+    neardup_clusters' inherited + localCheckpoint caches) must not
+    accumulate across repeated invocations — the caller-release contract
+    is td.release_staged_caches() after each terminal action."""
+    from spider_core_spark.textops import analysis as ta
+    from spider_core_spark.textops import dedup as td
+
+    sf = "/root/testdata/sf0.001"
+    before = _n_cached(spark)
+    for _ in range(2):
+        td.minhash_pairs(spark, sf).count()
+        td.ngram_jaccard_pairs(spark, sf).count()
+        td.ngram_jaccard_pairs_exact(spark, sf).count()
+        td.simhash_pairs(spark, sf).count()
+        td.neardup_clusters(spark, sf).count()
+        ta.corpus_keepers_neardup(spark, sf).count()
+        released = td.release_staged_caches()
+        assert released > 0  # the ops really do stage caches
+        assert _n_cached(spark) - before <= 0, (
+            "textops staged caches leaked after release"
+        )

@@ -60,9 +60,9 @@ def test_salvaged_rows_are_selected(spark, site, tmp_path_factory):
 
     pages_df, _ = site
     rows = [
-        ("https://x.test/a", "f1", "x.test", 1, 0, 0, 1, 0, 0, "salvaged", 0),
-        ("https://x.test/b", "f2", "x.test", 1, 0, 0, 2, 0, 0, "pending", 0),
-        ("https://x.test/c", "f3", "x.test", 1, 0, 0, 3, 0, 0, "fetched", 0),
+        ("https://x.test/a", "f1", "x.test", 1, 0, 0, 1, 0, 0, "salvaged", 0, None),
+        ("https://x.test/b", "f2", "x.test", 1, 0, 0, 2, 0, 0, "pending", 0, None),
+        ("https://x.test/c", "f3", "x.test", 1, 0, 0, 3, 0, 0, "fetched", 0, None),
     ]
     frontier = spark.createDataFrame(rows, schemas.FRONTIER)
     sel = select_wave(frontier, None, epoch=0, cfg=CrawlConfig(use_robots=False))

@@ -11,7 +11,10 @@ from spider_core_spark.plans.config import CrawlConfig
 
 
 def _row(url, host, prio, seq, nb=0, state="pending"):
-    return (url, f"fp_{url}", host, hash(host) % 1000, 1, prio, seq, 0, nb, state, 0)
+    return (
+        url, f"fp_{url}", host, hash(host) % 1000, 1, prio, seq, 0, nb,
+        state, 0, None,
+    )
 
 
 @pytest.fixture()
