@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_sample": ta.corpus_sample_stratified,
         "text_repetition": ta.repetition_scores,
         "text_corpus_stats": ta.corpus_stats,
+        "text_decontaminate": ta.decontaminate,
+        "text_boilerplate": ta.boilerplate_fraction,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "text_corpus_sample": ta.corpus_sample_sql(),
         "text_repetition": ta.repetition_scores_sql(),
         "text_corpus_stats": ta.CORPUS_STATS_SQL,
+        "text_decontaminate": ta.decontaminate_sql(),
+        "text_boilerplate": ta.boilerplate_fraction_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

@@ -411,6 +411,163 @@ FROM ts JOIN tri ON tri.doc_id = ts.doc_id
 """
 
 
+# ------------------------------------------------------- decontamination
+# Benchmark decontamination — the standard "did training data leak the
+# eval set" gate: a corpus doc is contaminated iff it shares ≥1 complete
+# n-token shingle with any benchmark document. Here the "benchmark" is
+# the first DECON_BENCH_DOCS docs of the corpus (a deterministic stand-in
+# for an external eval suite; a real run would read it from its own
+# table). At 100 TB the benchmark shingle set is tiny (eval suites are
+# MBs) → broadcast hash join against one pruned corpus scan; the corpus
+# side never shuffles.
+DECON_BENCH_DOCS = 20
+DECON_NGRAM = 5
+_DECON_SEED = 55
+
+
+def _decon_shingles_spark() -> str:
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    n = DECON_NGRAM
+    sh = (
+        f"transform(sequence(0, greatest(size(_toks) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+    )
+    return f"array_distinct(transform({sh}, x -> {_h64_spark('x', _DECON_SEED)}))"
+
+
+def _decon_shingles_duck() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    n = DECON_NGRAM
+    t = "string_split(text, ' ')"
+    sh = (
+        f"[array_to_string({t}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({t}) - {n - 1}, 1) + 1)]"
+    )
+    h = h64_duckdb("x", seed=_DECON_SEED)
+    return f"list_distinct(list_transform({sh}, x -> {h}))"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination report vs the benchmark set: count of
+    distinct benchmark-overlapping 5-gram shingles + the contaminated
+    flag. One staged-shingle scan per side; benchmark side broadcasts."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("split(text, ' ')").alias("_toks")
+    ).select("doc_id", F.expr(_decon_shingles_spark()).alias("_sh"))
+    bench = (
+        d.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select(F.explode("_sh").alias("h"))
+        .distinct()
+    )
+    corpus = d.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+    hits = (
+        corpus.select("doc_id", F.explode("_sh").alias("h"))
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+        (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate_sql() -> str:
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, {_decon_shingles_duck()} AS _sh FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(_sh) AS h FROM sh WHERE doc_id < {DECON_BENCH_DOCS}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT doc_id, unnest(_sh) AS h FROM sh
+        WHERE doc_id >= {DECON_BENCH_DOCS}) c
+  JOIN bench USING (h) GROUP BY doc_id
+)
+SELECT s.doc_id, coalesce(n, 0)::INT AS n_hits, coalesce(n, 0) > 0 AS contaminated
+FROM sh s LEFT JOIN hits ON hits.doc_id = s.doc_id
+WHERE s.doc_id >= {DECON_BENCH_DOCS}
+"""
+
+
+# -------------------------------------------------- boilerplate fraction
+# Corpus-frequent shingle fraction — the "duplicated n-gram" quality
+# signal (boilerplate headers/footers, templated spans): the share of a
+# doc's 3-gram shingle OCCURRENCES whose shingle appears in ≥ K distinct
+# documents corpus-wide. Two combinable aggregations on the shingle-hash
+# key (high-cardinality — no skew): distinct-doc counts per shingle, then
+# a join back and a per-doc ratio. No all-pairs anything.
+BOILER_MIN_DOCS = 5
+
+
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.textops.dedup import _h64_spark, _shingles_spark
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("split(text, ' ')").alias("_toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform({_shingles_spark('_toks')}, x -> {_h64_spark('x', 21)})"
+        ).alias("_sh"),
+    )
+    occ = d.select("doc_id", F.explode("_sh").alias("h"))
+    freq = (
+        occ.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+    )
+    per_doc = (
+        occ.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("ndocs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long"),
+        F.col("n_boiler").cast("long"),
+        F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias(
+            "boiler_frac"
+        ),
+    )
+
+
+def boilerplate_fraction_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+    from spider_core_spark.textops.dedup import _shingles_duck
+
+    h = h64_duckdb("x", seed=21)
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT doc_id, unnest(list_transform({_shingles_duck()}, x -> {h})) AS h
+  FROM documents
+),
+freq AS (
+  SELECT h, count(*) AS ndocs FROM (SELECT DISTINCT doc_id, h FROM occ)
+  GROUP BY h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN ndocs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)::BIGINT
+         AS n_boiler,
+       round(sum(CASE WHEN ndocs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS boiler_frac
+FROM occ JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report (the mixing table a data-curation run
