@@ -87,8 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda spark, sf: td.embedding_neardup(
             spark, sf, threshold=td.COSINE_REGISTERED
         ),
+        # k=None → K ≈ √N on BOTH sides (oracle uses a scalar subquery),
+        # so the one registered query is correctly sized at sf0.01
+        # (K=22) and sf0.1 (K=70) alike — the fixed-K=8 form made cells
+        # N/8-sized and the pair pass quadratic at bench scale
         "dedup_embedding_ivf": lambda spark, sf: td.embedding_ivf_neardup(
-            spark, sf, threshold=td.COSINE_REGISTERED
+            spark, sf, k=None, threshold=td.COSINE_REGISTERED
         ),
         "dedup_neardup_clusters": td.neardup_clusters,
         # similarity search
@@ -158,7 +162,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=td.COSINE_REGISTERED
         ),
         "dedup_embedding_ivf": td.embedding_ivf_sql(
-            threshold=td.COSINE_REGISTERED
+            k=None, threshold=td.COSINE_REGISTERED
         ),
         "dedup_neardup_clusters": td.neardup_clusters_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,

@@ -468,7 +468,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
-    return corpus.join(hits, "doc_id", "left").select(
+    # outer side needs only doc_id — don't recompute the shingle arrays
+    ids = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") >= DECON_BENCH_DOCS
+    )
+    return ids.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
         (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),

@@ -758,33 +758,62 @@ def embedding_ivf_neardup(
         F.col("vec_id").alias("cid"), F.col("v").alias("vc")
     )
 
-    def _cos(a: str, b: str):
-        dot = F.aggregate(
+    # hoist the per-vector norm: computed ONCE per vector here instead of
+    # once per (pair, side) inside the pair pass — identical arithmetic
+    # (same expression over the same vector), ~3× less per-pair work
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    e = e.withColumn("nv", norm("v"))
+    cents = cents.withColumn("nc", norm("vc"))
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-        return dot / (na * nb)
 
     assign = e.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", F.round(_cos("v", "vc"), 6)
+        "cos_c", F.round(_dot("v", "vc") / (F.col("nv") * F.col("nc")), 6)
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "cid")
     cells = (
         assign.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nv", "cid")
     )
-    l = cells.select(F.col("vec_id").alias("a"), "cid", F.col("v").alias("va"))
-    r = cells.select(F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb"))
-    return (
+    # candidate pairs carry ONLY ids through the join + dedup shuffle —
+    # shipping both 64-dim payloads per candidate through dropDuplicates
+    # is ~1 KB/pair (6 GB at 6M candidates); the ids are 16 bytes. The
+    # vectors re-attach afterwards from the slim per-vector frame.
+    l = cells.select(F.col("vec_id").alias("a"), "cid")
+    r = cells.select(F.col("vec_id").alias("b"), "cid")
+    pairs = (
         l.join(r, "cid")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
-        # a pair sharing 2 probed cells counts once; key on ids, not the
-        # (identical) vector payloads — the dedup shuffle keys by (a, b)
-        .dropDuplicates(["a", "b"])
-        .withColumn("cos", F.round(_cos("va", "vb"), 3))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])  # a pair sharing 2 probed cells: once
+    )
+    vs = e.select("vec_id", "v", "nv")
+    return (
+        pairs.join(
+            vs.select(
+                F.col("vec_id").alias("a"),
+                F.col("v").alias("va"),
+                F.col("nv").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            vs.select(
+                F.col("vec_id").alias("b"),
+                F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "cos", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 3)
+        )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
@@ -797,22 +826,37 @@ _DUCK_COS = (
 )
 
 def embedding_ivf_sql(
-    k: int = IVF_K,
+    k: int | None = IVF_K,
     nprobe: int = IVF_NEARDUP_NPROBE,
     threshold: float = COSINE_THRESHOLD,
 ) -> str:
     """Oracle for embedding_ivf_neardup at the same (k, nprobe,
-    threshold) — identical multi-probe assignment and pair dedup."""
+    threshold) — identical multi-probe assignment and pair dedup.
+    ``k=None`` mirrors the Spark auto-√N sizing with a scalar subquery
+    (floor(sqrt(N)) ≡ isqrt(N) for any realistic N in double
+    precision), so the SAME registered query is correctly sized at
+    every scale factor the driver or bench runs it at."""
+    if k is None:
+        k = (
+            f"(SELECT greatest({IVF_K}, floor(sqrt(count(*)))::BIGINT) "
+            f"FROM embeddings)"
+        )
+    dot = (
+        "list_sum([{l}[i] * {r}[i] for i in range(1, len({l}) + 1)])"
+    )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS vc FROM e WHERE vec_id < {k}),
+WITH e AS MATERIALIZED (
+  SELECT vec_id, v, sqrt(list_sum([x * x for x in v])) AS nv
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+),
+c AS (SELECT vec_id AS cid, v AS vc, nv AS nc FROM e WHERE vec_id < {k}),
 a AS (
-  SELECT e.vec_id, e.v, c.cid,
-         round({_DUCK_COS.format(l='e.v', r='c.vc')}, 6) AS cos_c
+  SELECT e.vec_id, e.v, e.nv, c.cid,
+         round({dot.format(l='e.v', r='c.vc')} / (e.nv * c.nc), 6) AS cos_c
   FROM e CROSS JOIN c
 ),
 cells AS (
-  SELECT vec_id, v, cid FROM (
+  SELECT vec_id, v, nv, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id
                                  ORDER BY cos_c DESC, cid) AS rn
     FROM a
@@ -822,9 +866,10 @@ pairs AS (
   SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
   FROM cells l JOIN cells r ON l.cid = r.cid AND l.vec_id < r.vec_id
 ),
-vs AS (SELECT DISTINCT vec_id, v FROM cells)
+vs AS (SELECT DISTINCT vec_id, v, nv FROM cells)
 SELECT a, b, cos FROM (
-  SELECT a, b, round({_DUCK_COS.format(l='la.v', r='rb.v')}, 3) AS cos
+  SELECT a, b,
+         round({dot.format(l='la.v', r='rb.v')} / (la.nv * rb.nv), 3) AS cos
   FROM pairs JOIN vs la ON la.vec_id = pairs.a
              JOIN vs rb ON rb.vec_id = pairs.b
 )
