@@ -38,6 +38,19 @@ def main() -> None:
     ap.add_argument("--no-detail", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument(
+        "--adaptive-budget", action="store_true",
+        help="per-host A8 feedback budgets (AdaptiveSemaphore per-host analog)",
+    )
+    ap.add_argument(
+        "--adaptive-wave", action="store_true",
+        help="global adaptive wave sizing (the reference's single permit count)",
+    )
+    ap.add_argument(
+        "--time-target-ms", type=int, default=None,
+        help="response-time target for the adaptive time terms "
+             "(needs a transport_ms-emitting fetcher)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,6 +79,9 @@ def main() -> None:
         use_bloom=not args.no_bloom,
         detailed_metrics=not args.no_detail,
         seeds_pre_deduped=seeds_df is not None,
+        adaptive_budget=args.adaptive_budget,
+        adaptive_wave=args.adaptive_wave,
+        adaptive_time_target_ms=args.time_target_ms,
     )
     spider = Spider(start_urls=list(args.seed_urls))
 
