@@ -98,7 +98,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
-        "ann_ivf_topk": ts.ann_ivf_topk,
+        # k=None → K ≈ √N on both sides (oracle scalar subquery): correct
+        # cell sizing at every scale factor, like dedup_embedding_ivf
+        "ann_ivf_topk": lambda spark, sf: ts.ann_ivf_topk(spark, sf, k=None),
         # text analysis
         "text_langid": ta.lang_id,
         "text_quality": ta.quality_score,
@@ -167,7 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_neardup_clusters": td.neardup_clusters_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
-        "ann_ivf_topk": ts.ANN_IVF_SQL,
+        "ann_ivf_topk": ts.ann_ivf_sql(k=None),
         "text_langid": ta.lang_id_sql(),
         "text_quality": ta.quality_score_sql(),
         "text_tokens": ta.TOKEN_COUNTS_SQL,

@@ -199,8 +199,15 @@ def ann_ivf_topk(
     )
 
 
-def ann_ivf_sql(k: int = IVF_K_ANN, nprobe: int = NPROBE) -> str:
-    """Oracle for ann_ivf_topk at the same (k, nprobe)."""
+def ann_ivf_sql(k: int | None = IVF_K_ANN, nprobe: int = NPROBE) -> str:
+    """Oracle for ann_ivf_topk at the same (k, nprobe). ``k=None``
+    mirrors the Spark auto-√N sizing with a scalar subquery, so one
+    registered query is correctly sized at every scale factor."""
+    if k is None:
+        k = (
+            f"(SELECT greatest({IVF_K_ANN}, floor(sqrt(count(*)))::BIGINT) "
+            f"FROM embeddings)"
+        )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k}),
