@@ -55,6 +55,58 @@ def seed_seq(position: int) -> int:
     return position
 
 
+def raw_seed_frame(spark, spider):
+    """Seed rows from Spider.start_requests (full Requests with per-seed
+    priority/depth/not_before_epoch/meta, reference src/spider.rs:112-121)
+    or plain start_urls — shared by the BSP and streaming engines."""
+    if getattr(spider, "start_requests", None) is not None:
+        rows = [
+            (
+                r["url"],
+                i,
+                int(r.get("priority", 0)),
+                int(r.get("depth", 0)),
+                int(r.get("not_before_epoch", 0)),
+                r.get("meta"),
+            )
+            for i, r in enumerate(spider.start_requests)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, seq long, priority int, depth int, "
+            "not_before_epoch int, meta map<string,string>",
+        )
+    rows = [(u, i) for i, u in enumerate(spider.start_urls)]
+    return spark.createDataFrame(rows, "url string, seq long")
+
+
+def seed_frontier_select(seeds: DataFrame, canonicalize: bool = False) -> DataFrame:
+    """Normalize a raw seed frame into FRONTIER-schema rows (F0 path:
+    fragment strip / canonicalize, fingerprint, host columns; optional
+    per-seed columns default to 0/NULL)."""
+    from spider_core_spark.functions import url as urlfn
+
+    def _opt(name: str, default):
+        return F.col(name) if name in seeds.columns else default
+
+    return urlfn.with_url_columns(seeds, canonicalize=canonicalize).select(
+        "url",
+        "fingerprint",
+        "host",
+        "host_hash",
+        _opt("depth", F.lit(0)).cast("int").alias("depth"),
+        _opt("priority", F.lit(0)).cast("int").alias("priority"),
+        F.col("seq").cast("long"),
+        F.lit(0).cast("int").alias("retry_count"),
+        _opt("not_before_epoch", F.lit(0)).cast("int").alias(
+            "not_before_epoch"
+        ),
+        F.lit("pending").alias("state"),
+        F.lit(0).cast("int").alias("epoch_added"),
+        _opt("meta", F.lit(None)).cast("map<string,string>").alias("meta"),
+    )
+
+
 def child_seq_col(epoch: int, parent_rank, link_pos):
     return (
         F.lit((epoch + 1) * SEQ_EPOCH_BASE).cast("long")

@@ -192,53 +192,15 @@ class CrawlEngine:
         frontier the seed list is itself a table, never a driver list.
         Spider.start_requests (src/spider.rs:112-121) supplies full seed
         Requests with per-seed priority/depth/not_before_epoch/meta; all
-        paths normalize through the same with_url_columns."""
-        meta_t = "map<string,string>"
+        paths normalize through the same with_url_columns
+        (frontier_ops.seed_frontier_select, shared with the streaming
+        engine)."""
         if seeds_df is not None:
             seeds = seeds_df
-        elif self.spider.start_requests is not None:
-            rows = [
-                (
-                    r["url"],
-                    i,
-                    int(r.get("priority", 0)),
-                    int(r.get("depth", 0)),
-                    int(r.get("not_before_epoch", 0)),
-                    r.get("meta"),
-                )
-                for i, r in enumerate(self.spider.start_requests)
-            ]
-            seeds = self.spark.createDataFrame(
-                rows,
-                "url string, seq long, priority int, depth int, "
-                f"not_before_epoch int, meta {meta_t}",
-            )
         else:
-            rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
-            seeds = self.spark.createDataFrame(rows, "url string, seq long")
-
-        def _opt(name: str, default):
-            return (
-                F.col(name) if name in seeds.columns else default
-            )
-
-        df = urlfn.with_url_columns(
+            seeds = frontier_ops.raw_seed_frame(self.spark, self.spider)
+        df = frontier_ops.seed_frontier_select(
             seeds, canonicalize=self.config.canonicalize_urls
-        ).select(
-            "url",
-            "fingerprint",
-            "host",
-            "host_hash",
-            _opt("depth", F.lit(0)).cast("int").alias("depth"),
-            _opt("priority", F.lit(0)).cast("int").alias("priority"),
-            F.col("seq").cast("long"),
-            F.lit(0).cast("int").alias("retry_count"),
-            _opt("not_before_epoch", F.lit(0)).cast("int").alias(
-                "not_before_epoch"
-            ),
-            F.lit("pending").alias("state"),
-            F.lit(0).cast("int").alias("epoch_added"),
-            _opt("meta", F.lit(None)).cast(meta_t).alias("meta"),
         )
         if self.config.validate_seeds:
             # S1 (src/spider.rs:118-120): a seed that yields no parseable

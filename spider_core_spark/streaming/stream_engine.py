@@ -42,7 +42,6 @@ from pyspark.sql import functions as F
 from spider_core_spark import schemas
 from spider_core_spark.api import middleware as mw
 from spider_core_spark.api.spider import Spider
-from spider_core_spark.functions import url as urlfn
 from spider_core_spark.operators import dedup as dedup_ops
 from spider_core_spark.operators import frontier as frontier_ops
 from spider_core_spark.operators import parse as parse_ops
@@ -321,21 +320,16 @@ class StreamingCrawlEngine:
                 self._zero_hosts = zh
         self._active = time.monotonic()
 
-        # seed injection (same normalization as the BSP engine)
-        rows = [(u, i) for i, u in enumerate(self.spider.start_urls)]
-        seeds = urlfn.with_url_columns(
-            spark.createDataFrame(rows, "url string, seq long"),
+        # seed injection (same normalization as the BSP engine; supports
+        # Spider.start_requests per-seed priority/depth/meta too)
+        from spider_core_spark.operators.frontier import (
+            raw_seed_frame,
+            seed_frontier_select,
+        )
+
+        seeds = seed_frontier_select(
+            raw_seed_frame(spark, self.spider),
             canonicalize=cfg.canonicalize_urls,
-        ).select(
-            "url", "fingerprint", "host", "host_hash",
-            F.lit(0).cast("int").alias("depth"),
-            F.lit(0).cast("int").alias("priority"),
-            F.col("seq"),
-            F.lit(0).cast("int").alias("retry_count"),
-            F.lit(0).cast("int").alias("not_before_epoch"),
-            F.lit("pending").alias("state"),
-            F.lit(0).cast("int").alias("epoch_added"),
-            F.lit(None).cast("map<string,string>").alias("meta"),
         ).dropDuplicates(["fingerprint"])
         self._emit_frontier(seeds)
 
