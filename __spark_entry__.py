@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": ta.corpus_stats,
         "text_decontaminate": ta.decontaminate,
         "text_boilerplate": ta.boilerplate_fraction,
+        "text_pii_scrub": ta.pii_scrub,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "text_corpus_stats": ta.CORPUS_STATS_SQL,
         "text_decontaminate": ta.decontaminate_sql(),
         "text_boilerplate": ta.boilerplate_fraction_sql(),
+        "text_pii_scrub": ta.pii_scrub_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

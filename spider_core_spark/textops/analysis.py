@@ -572,6 +572,68 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------- PII scrub
+# PII redaction — the standard pre-training privacy pass (emails/phone
+# numbers → placeholder tokens). The synthetic corpus has no organic PII,
+# so the QUERY deterministically appends a contact line derived from
+# doc_id in BOTH engines before scrubbing (the s2_host_extract pattern:
+# the injection is part of the oracle too, so the operator's match/replace
+# path is exercised non-vacuously). Per-row regexp work: narrow, no
+# shuffle, pipeline-parallel at any corpus size.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+def _pii_aug_spark():
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails/phones; returns counts + sha256 of the
+    scrubbed text (narrow output, full-content verification)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = _pii_aug_spark()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    # patterns passed as Columns (F.lit) so they bypass SQL string-literal
+    # escaping entirely — the Java regex sees exactly the Python string,
+    # matching what DuckDB's RE2 sees in the oracle
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(aug, F.lit(PII_PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    aug = (
+        "text || ' contact user' || doc_id || '@mail.example.com or +1-555-' "
+        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all({aug}, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all({aug}, '{PII_PHONE_RE}')) AS n_phones,
+       sha256(regexp_replace(regexp_replace({aug}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_sha
+FROM documents
+"""
+
+
 # ----------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report (the mixing table a data-curation run
