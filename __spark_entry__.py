@@ -25,6 +25,7 @@ from spider_core_spark.plans import demo_queries as dq
 from spider_core_spark.textops import analysis as ta
 from spider_core_spark.textops import dedup as td
 from spider_core_spark.textops import multimodal as tm
+from spider_core_spark.textops import packing as tp
 from spider_core_spark.textops import similarity as ts
 
 
@@ -115,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": ta.decontaminate,
         "text_boilerplate": ta.boilerplate_fraction,
         "text_pii_scrub": ta.pii_scrub,
+        "text_normalize": ta.normalize_text,
+        "text_pack_sequences": tp.pack_sequences,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -184,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": ta.decontaminate_sql(),
         "text_boilerplate": ta.boilerplate_fraction_sql(),
         "text_pii_scrub": ta.pii_scrub_sql(),
+        "text_normalize": ta.normalize_text_sql(),
+        "text_pack_sequences": tp.pack_sequences_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
     }

@@ -634,6 +634,54 @@ FROM documents
 """
 
 
+# ------------------------------------------------------ text normalization
+# Whitespace canonicalization: the first pass of every webtext pipeline
+# (HTML extractors emit runs of spaces/tabs/newlines; downstream dedup and
+# token counting want one canonical form). Pure JVM regexp — narrow,
+# whole-stage-codegen, zero shuffles at any corpus size. The fixture text
+# is already single-spaced, so (like pii_scrub) the operator injects a
+# deterministic mess — leading tab, doubled interior spaces, trailing CRLF
+# — in BOTH engines, making the collapse path non-vacuous under the
+# driver's oracle gate. The character class is spelled with explicit
+# \t \n \r \f \x0b escapes (interpreted identically by Java regex and
+# DuckDB's RE2) rather than \s, whose class differs between engines.
+NORM_WS_RE = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def _norm_aug_spark():
+    return F.concat(
+        F.lit("\t "),
+        F.col("text"),
+        F.lit("  end"),
+        F.lit("\r\n"),
+    )
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse whitespace runs to single spaces and trim; returns the
+    normalized length + sha256 (narrow output, full-content verification,
+    same shape as pii_scrub)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(_norm_aug_spark(), NORM_WS_RE, " "))
+    return d.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.sha2(norm, 256).alias("norm_sha"),
+    )
+
+
+def normalize_text_sql() -> str:
+    aug = "chr(9) || ' ' || text || '  end' || chr(13) || chr(10)"
+    return f"""
+SELECT doc_id,
+       len(trim(regexp_replace({aug}, '{NORM_WS_RE}', ' ', 'g')))::BIGINT
+           AS n_chars_norm,
+       sha256(trim(regexp_replace({aug}, '{NORM_WS_RE}', ' ', 'g')))
+           AS norm_sha
+FROM documents
+"""
+
+
 # ----------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report (the mixing table a data-curation run

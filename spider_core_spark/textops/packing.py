@@ -1,0 +1,115 @@
+"""Sequence packing for LLM pretraining: concat-and-chunk chunk-span
+assignment.
+
+A training pipeline doesn't feed documents to the model one-by-one — it
+concatenates a deterministically ordered document stream per language and
+splits the token stream into fixed-size training sequences (GPT-style
+"packing": every chunk is exactly ``chunk_tokens`` long, documents straddle
+chunk boundaries). The operator computes, for every document, where it
+lands in that packed stream:
+
+    start_tok    exclusive cumulative token count before the doc
+                 (its offset in the per-language token stream)
+    start_chunk  index of the training sequence its first token lands in
+    end_chunk    index of the sequence its last token lands in
+    n_chunks     how many sequences it spans
+
+This is pure arithmetic ON TOP OF a grouped prefix sum — the hard part at
+scale. A naive per-language window funnels each language through one task
+(one language ≈ half a web corpus); ``operators/prefix.py`` does the
+two-phase range-partitioned cumsum instead, so no task ever sees more than
+one Spark partition of rows. The registered sf-scale query takes the
+prefix helper's small path (plain window, nothing persisted); the
+two-phase big path is exercised by ``tests/test_prefix_sum.py`` forcing
+``small_threshold=0`` and asserting bit-equality with the window path.
+
+Token counts use the same whitespace tokenization as
+``textops/analysis.token_counts`` so the two operators agree on corpus
+token totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_core_spark.operators.prefix import with_group_prefix_sum
+
+CHUNK_TOKENS = 2048
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    small_threshold: int | None = None,
+) -> DataFrame:
+    """Chunk-span assignment per document (see module docstring).
+
+    Stream order is (lang, doc_id) — a total order, so the packing is
+    deterministic and a re-run of a failed stage reproduces identical
+    chunk assignments (same property as corpus_sample_stratified).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    kwargs = {}
+    if small_threshold is not None:
+        kwargs["small_threshold"] = small_threshold
+    out, release = with_group_prefix_sum(
+        d, ["lang"], ["doc_id"], "n_tokens", "start_tok", **kwargs
+    )
+    result = (
+        out.withColumn(
+            "_last_tok", F.col("start_tok") + F.col("n_tokens") - F.lit(1)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "start_tok",
+            F.expr(f"start_tok div {chunk_tokens}").cast("long").alias(
+                "start_chunk"
+            ),
+            F.expr(f"_last_tok div {chunk_tokens}").cast("long").alias(
+                "end_chunk"
+            ),
+        )
+        .withColumn(
+            "n_chunks",
+            (F.col("end_chunk") - F.col("start_chunk") + 1).cast("long"),
+        )
+    )
+    # big path only: the caller's terminal action materializes `result`
+    # before this lazy unpersist drops the ranged intermediate
+    release()
+    return result
+
+
+def pack_sequences_sql(chunk_tokens: int = CHUNK_TOKENS) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS start_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, start_tok,
+       (start_tok // {chunk_tokens})::BIGINT AS start_chunk,
+       ((start_tok + n_tokens - 1) // {chunk_tokens})::BIGINT AS end_chunk,
+       ((start_tok + n_tokens - 1) // {chunk_tokens}
+        - start_tok // {chunk_tokens} + 1)::BIGINT AS n_chunks
+FROM c
+"""
