@@ -682,6 +682,98 @@ FROM documents
 """
 
 
+# ------------------------------------------------------ source-mix rebalance
+# Domain/source reweighting: the curation step that turns "whatever the
+# crawler got" into a target data mixture. Here the target is uniform per
+# source; each over-represented source gets a keep-weight
+# w = min(1, target/actual) and a DETERMINISTIC hash-threshold downsample
+# (same re-runnable property as corpus_sample_stratified — a retried stage
+# keeps the same rows). "Actual" is measured in CHARACTER MASS, not doc
+# count — a token-budget view of the mixture (and, on the uniform-doc-count
+# fixture, the property that keeps the downsample branch non-vacuous:
+# per-source char totals differ, so over-weight sources get thresh < 1).
+# Weights are computed in integer arithmetic
+# (thresh = (total_mass·MOD) div (n_sources·mass)) so Spark and DuckDB
+# agree bit-for-bit with no float division in the decision path. Shape at
+# 100 TB: one combinable groupBy for the masses (rows = n_sources, tiny),
+# a broadcast join of the thresholds, one more combinable groupBy — no
+# wide shuffle ever carries the corpus.
+_MIX_MOD = 1_000_000
+_MIX_SEED = 91
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc counts, uniform-target keep-weight, and the kept-row
+    count after deterministic hash-threshold downsampling."""
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    w = Window.partitionBy()  # over the per-source agg: n_sources rows
+    counts = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("mass"),
+        )
+        .withColumn("_total", F.sum("mass").over(w))
+        .withColumn("_nsrc", F.count("*").over(w))
+        .withColumn(
+            "thresh",
+            F.least(
+                F.lit(_MIX_MOD).cast("long"),
+                F.expr(f"(_total * {_MIX_MOD}) div (_nsrc * mass)"),
+            ),
+        )
+    )
+    bucket = F.pmod(
+        F.expr(_h64_spark("cast(doc_id as string)", _MIX_SEED)),
+        F.lit(_MIX_MOD),
+    )
+    kept = (
+        d.join(F.broadcast(counts.select("source", "thresh")), "source")
+        .filter(bucket < F.col("thresh"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "mass",
+            F.round(F.col("thresh") / _MIX_MOD, 6).alias("weight"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def source_mix_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=_MIX_SEED)
+    return f"""
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS mass
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, mass,
+         least({_MIX_MOD},
+               (SUM(mass) OVER () * {_MIX_MOD})
+                 // ((COUNT(*) OVER ()) * mass))::BIGINT AS thresh
+  FROM c
+), k AS (
+  SELECT d.source, count(*)::BIGINT AS n_kept
+  FROM documents d JOIN t USING (source)
+  WHERE {h} % {_MIX_MOD} < t.thresh
+  GROUP BY d.source
+)
+SELECT t.source, t.n_docs, t.mass,
+       round(t.thresh / {_MIX_MOD}.0, 6) AS weight,
+       COALESCE(k.n_kept, 0)::BIGINT AS n_kept
+FROM t LEFT JOIN k USING (source)
+"""
+
+
 # ----------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report (the mixing table a data-curation run
