@@ -708,35 +708,46 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spider_core_spark.textops.dedup import _h64_spark
 
     d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    w = Window.partitionBy()  # over the per-source agg: n_sources rows
-    counts = (
+    # pass 1: per-source masses — n_sources rows, collected to the driver
+    # (rank.py's offsets pattern) so the threshold table is a literal and
+    # the corpus is scanned exactly twice (the minimum: global totals must
+    # exist before the filter pass; caching the corpus instead would be
+    # worse at scale)
+    rows = (
         d.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("mass"),
         )
-        .withColumn("_total", F.sum("mass").over(w))
-        .withColumn("_nsrc", F.count("*").over(w))
-        .withColumn(
-            "thresh",
-            F.least(
-                F.lit(_MIX_MOD).cast("long"),
-                F.expr(f"(_total * {_MIX_MOD}) div (_nsrc * mass)"),
-            ),
-        )
+        .collect()
     )
+    total = sum(r["mass"] for r in rows)
+    nsrc = len(rows)
+    tdf = spark.createDataFrame(
+        [
+            (
+                r["source"],
+                int(r["n_docs"]),
+                int(r["mass"]),
+                min(_MIX_MOD, (total * _MIX_MOD) // (nsrc * r["mass"])),
+            )
+            for r in rows
+        ],
+        "source string, n_docs long, mass long, thresh long",
+    )
+    # pass 2: deterministic downsample against the broadcast thresholds
     bucket = F.pmod(
         F.expr(_h64_spark("cast(doc_id as string)", _MIX_SEED)),
         F.lit(_MIX_MOD),
     )
     kept = (
-        d.join(F.broadcast(counts.select("source", "thresh")), "source")
+        d.join(F.broadcast(tdf.select("source", "thresh")), "source")
         .filter(bucket < F.col("thresh"))
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
     return (
-        counts.join(kept, "source", "left")
+        tdf.join(kept, "source", "left")
         .select(
             "source",
             "n_docs",
