@@ -785,6 +785,86 @@ FROM t LEFT JOIN k USING (source)
 """
 
 
+# ------------------------------------------------- unigram LM quality score
+# CCNet-style LM quality gate, with the corpus's own unigram distribution
+# standing in for the external KenLM model (no model artifacts in this
+# sandbox, and the plumbing is identical): per-language token counts →
+# top-K vocabulary → add-one-smoothed log-probability, doc score = mean
+# token logprob. Low (very negative) scores = token distributions unlike
+# the corpus — the junk the ppl filter drops. K is the broadcastability
+# knob: at any corpus size the scorer ships top-K rows per language
+# (50k-ish in production), so the exploded token stream is never shuffled
+# for the lookup — only the two combinable groupBys shuffle (Zipf-skewed
+# token key is defused by map-side partial aggregation; doc_id is
+# near-unique). Registered K=20 < the fixture's 31-token closed vocab so
+# the OOV smoothing floor is exercised non-vacuously.
+UNIGRAM_TOPK = 20
+
+
+def unigram_logprob(
+    spark: SparkSession, sf_dir: str, k: int = UNIGRAM_TOPK
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the per-language
+    corpus distribution (add-one smoothing, top-k vocab, OOV floor)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("lang", "tok", "c")
+    )
+    stats = counts.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.least(F.count("*"), F.lit(k)).cast("long").alias("v"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), ["lang", "tok"], "left")
+        .join(F.broadcast(stats), "lang")
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("n_tok") + F.col("v") + 1)
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.avg("lp"), 6).alias("logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(k: int = UNIGRAM_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY lang, tok
+), vocab AS (
+  SELECT lang, tok, c FROM (
+    SELECT lang, tok, c,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+    FROM counts
+  ) WHERE r <= {k}
+), stats AS (
+  SELECT lang, sum(c)::BIGINT AS n_tok, least(count(*), {k})::BIGINT AS v
+  FROM counts GROUP BY lang
+)
+SELECT t.doc_id, t.lang, count(*)::BIGINT AS n_toks,
+       round(avg(ln((COALESCE(vo.c, 0) + 1) / (s.n_tok + s.v + 1))), 6)
+           AS logprob
+FROM toks t
+LEFT JOIN vocab vo USING (lang, tok)
+JOIN stats s USING (lang)
+GROUP BY t.doc_id, t.lang
+"""
+
+
 # ----------------------------------------------------------- corpus stats
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report (the mixing table a data-curation run
