@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": ta.normalize_text,
         "text_source_mix": ta.source_mix,
         "text_unigram_logprob": ta.unigram_logprob,
+        "text_corpus_prep": ta.corpus_prep,
         "text_pack_sequences": tp.pack_sequences,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": ta.normalize_text_sql(),
         "text_source_mix": ta.source_mix_sql(),
         "text_unigram_logprob": ta.unigram_logprob_sql(),
+        "text_corpus_prep": ta.corpus_prep_sql(),
         "text_pack_sequences": tp.pack_sequences_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),

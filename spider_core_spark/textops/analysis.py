@@ -292,6 +292,95 @@ WHERE q.quality_score >= {QUALITY_KEEP_MIN}
 """
 
 
+# ------------------------------------------------- full corpus-prep summary
+def corpus_prep(spark: SparkSession, sf_dir: str, chunk_tokens: int = 2048) -> DataFrame:
+    """The whole curation chain as ONE declarative plan, ending in the
+    table a training launch actually reads — per-language packed-stream
+    totals: docs kept, total whitespace tokens, and training sequences
+    (ceil(total/chunk)) after
+
+        exact-dup keepers ∩ near-dup-cluster keepers ∩ quality bar
+        (corpus_keepers_neardup)  →  source-mix downsample (same integer
+        thresholds + h64 seed as source_mix, computed from the FULL
+        corpus so the two operators share one threshold table)  →
+        per-lang chunk arithmetic (concat-and-chunk, as pack_sequences).
+
+    Everything stays in one DAG: the near-dup side is candidate-graph-
+    sized, the mix threshold pass is a 2-column corpus agg collected as
+    n_sources scalars, and the final summary is a combinable groupBy —
+    no stage rescans the corpus more than the composition requires."""
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir)
+    clean = corpus_keepers_neardup(spark, sf_dir).select("doc_id")
+    docs = (
+        d.join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    # mix thresholds from the full corpus (shared with source_mix)
+    rows = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("mass"))
+        .collect()
+    )
+    total = sum(r["mass"] for r in rows)
+    nsrc = len(rows)
+    tdf = spark.createDataFrame(
+        [
+            (r["source"], min(_MIX_MOD, (total * _MIX_MOD) // (nsrc * r["mass"])))
+            for r in rows
+        ],
+        "source string, thresh long",
+    )
+    bucket = F.pmod(
+        F.expr(_h64_spark("cast(doc_id as string)", _MIX_SEED)),
+        F.lit(_MIX_MOD),
+    )
+    kept = docs.join(F.broadcast(tdf), "source").filter(bucket < F.col("thresh"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            f"(sum(n_tokens) + {chunk_tokens - 1}) div {chunk_tokens}"
+        ).cast("long").alias("n_chunks"),
+    )
+
+
+def corpus_prep_sql(chunk_tokens: int = 2048) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=_MIX_SEED)
+    return f"""
+WITH clean AS (
+  SELECT doc_id FROM ({corpus_keepers_neardup_sql()}) ck
+), mix AS (
+  SELECT source,
+         least({_MIX_MOD},
+               (SUM(sum_mass) OVER () * {_MIX_MOD})
+                 // ((COUNT(*) OVER ()) * sum_mass))::BIGINT AS thresh
+  FROM (SELECT source, sum(n_chars)::BIGINT AS sum_mass
+        FROM documents GROUP BY source)
+), kept AS (
+  SELECT d.doc_id, d.lang,
+         len(string_split(d.text, ' '))::BIGINT AS n_tokens
+  FROM documents d
+  JOIN clean USING (doc_id)
+  JOIN mix ON mix.source = d.source
+  WHERE {h} % {_MIX_MOD} < mix.thresh
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       ((sum(n_tokens) + {chunk_tokens - 1}) // {chunk_tokens})::BIGINT
+           AS n_chunks
+FROM kept GROUP BY lang
+"""
+
+
 # --------------------------------------------------- stratified sampling
 # Per-language corpus mixing rates (a training-data pipeline's "data
 # mixture"): fraction of docs kept per lang, decided by a DETERMINISTIC
