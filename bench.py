@@ -133,8 +133,17 @@ def run_scale_wave() -> dict | None:
     pin = (
         ["taskset", "-c", f"0-{CPUS - 1}"] if shutil.which("taskset") else []
     )
+    # cumulative budget: on bad-ambient days (BENCH/BASELINE.md round-4
+    # control: same-binary trials span 3.5k-13.3k urls/s as co-tenant IO
+    # swings) a full trial can take many minutes — stop launching new
+    # trials once the budget is spent so the round artifact always lands,
+    # with however many trials completed
+    budget_s = float(os.environ.get("SPIDER_BENCH_SCALE_BUDGET_S", "900"))
+    t_start = time.monotonic()
     results = []
     for _ in range(trials):
+        if results and time.monotonic() - t_start > budget_s:
+            break
         try:
             p = subprocess.run(
                 pin + [sys.executable, worker, str(CPUS), str(n), "5", "steady"],
