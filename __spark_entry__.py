@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, k=None, threshold=td.COSINE_REGISTERED
         ),
         "dedup_neardup_clusters": td.neardup_clusters,
+        "dedup_minhash_incremental": td.minhash_incremental,
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
             k=None, threshold=td.COSINE_REGISTERED
         ),
         "dedup_neardup_clusters": td.neardup_clusters_sql(),
+        "dedup_minhash_incremental": td.minhash_incremental_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
         "ann_ivf_topk": ts.ann_ivf_sql(k=None),

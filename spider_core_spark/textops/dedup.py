@@ -226,6 +226,85 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_BATCH_MOD = 10
+
+
+def minhash_incremental(
+    spark: SparkSession, sf_dir: str, batch_mod: int = INCR_BATCH_MOD
+) -> DataFrame:
+    """Incremental-ingest near-dup check: which docs of an INCOMING batch
+    already have a near-dup in the EXISTING corpus (the recurring-crawl
+    curation decision — dedupe snapshot N+1 against everything kept so
+    far, without re-pairing the old corpus with itself).
+
+    The batch is the deterministic slice doc_id % batch_mod == 0 standing
+    in for a new snapshot; the complement is the existing corpus. One
+    signature pass over the table, then an ASYMMETRIC equi-join new-bands
+    × old-bands on (band_idx, band_hash) — old×old never joins, so the
+    work is O(|new| + collision candidates), not O(corpus²). At 100 TB
+    the old side's band table is exactly what a production pipeline keeps
+    persisted between snapshots (alongside the seen-set shards): the
+    incremental cost per snapshot is hashing the NEW docs plus one
+    shuffle keyed on (band_idx, band_hash).
+
+    Output: one row per incoming doc — matched existing-corpus count and
+    the novelty verdict the ingest gate filters on."""
+    long = _stage(minhash_bands_long(spark, sf_dir))
+    is_new = F.pmod(F.col("doc_id"), F.lit(batch_mod)) == 0
+    new_b = long.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    old_b = long.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+    )
+    matches = (
+        new_b.join(old_b, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+        .groupBy("new_id")
+        .agg(F.count("*").alias("n_dup_matches"))
+    )
+    new_docs = (
+        _docs(spark, sf_dir)
+        .filter(F.pmod(F.col("doc_id"), F.lit(batch_mod)) == 0)
+        .select("doc_id")
+    )
+    return (
+        new_docs.join(matches, new_docs.doc_id == matches.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_matches", F.lit(0)).cast("long").alias(
+                "n_dup_matches"
+            ),
+            (F.coalesce("n_dup_matches", F.lit(0)) == 0).alias("is_novel"),
+        )
+    )
+
+
+def minhash_incremental_sql(batch_mod: int = INCR_BATCH_MOD) -> str:
+    base = minhash_bands_sql()
+    long_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH bands AS ({base}),
+long AS ({long_union}),
+matches AS (
+  SELECT l.doc_id AS new_id, count(DISTINCT r.doc_id)::BIGINT AS n
+  FROM long l JOIN long r USING (band_idx, band_hash)
+  WHERE l.doc_id % {batch_mod} = 0 AND r.doc_id % {batch_mod} <> 0
+  GROUP BY l.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.n, 0)::BIGINT AS n_dup_matches,
+       COALESCE(m.n, 0) = 0 AS is_novel
+FROM documents d
+LEFT JOIN matches m ON m.new_id = d.doc_id
+WHERE d.doc_id % {batch_mod} = 0
+"""
+
+
 def minhash_pairs_sql() -> str:
     base = minhash_bands_sql()
     long_union = " UNION ALL ".join(
