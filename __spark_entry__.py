@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": lambda spark, sf: tm.sample_frames(
             tm.synth_media_df(spark)
         ),
+        "mm_patchify": lambda spark, sf: tm.patchify(tm.synth_media_df(spark)),
     }
     return q
 
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": tp.pack_sequences_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
+        "mm_patchify": tm.patchify_sql(),
     }

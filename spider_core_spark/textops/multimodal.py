@@ -133,6 +133,83 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+PATCH_PX = 16
+PATCH_SCHEMA = (
+    "media_id long, patch_row int, patch_col int, patch_idx int, "
+    "patch_sha string"
+)
+
+
+def patchify(media: DataFrame, patch_px: int = PATCH_PX) -> DataFrame:
+    """ViT-prep patch grid: one row per patch of every image, grid =
+    ceil(height/patch) × ceil(width/patch), patch content = digest of
+    (hex(payload), patch_idx) — the same stub convention as frame
+    sampling (a real impl would crop pixel blocks after decode; the row
+    explosion, index arithmetic, batching and schema are the production
+    shape). Row count scales with image area / patch² — the metadata a
+    vision-token budget planner consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, prs, pcs, idxs, shas = [], [], [], [], []
+            for mid, kind, payload, w, h in zip(
+                b["media_id"], b["kind"], b["payload"], b["width"], b["height"]
+            ):
+                if kind != "image" or payload is None or w is None or h is None:
+                    continue
+                hexp = bytes(payload).hex()
+                rows = -(-int(h) // patch_px)
+                cols = -(-int(w) // patch_px)
+                for r in range(rows):
+                    for c in range(cols):
+                        pi = r * cols + c
+                        ids.append(mid)
+                        prs.append(r)
+                        pcs.append(c)
+                        idxs.append(pi)
+                        shas.append(
+                            hashlib.sha256(
+                                (hexp + format(pi, "08x")).encode()
+                            ).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "patch_row": pd.Series(prs, dtype="int32"),
+                    "patch_col": pd.Series(pcs, dtype="int32"),
+                    "patch_idx": pd.Series(idxs, dtype="int32"),
+                    "patch_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+def patchify_sql(n: int = SYNTH_N, patch_px: int = PATCH_PX) -> str:
+    """DuckDB twin of patchify(synth_media_df(spark, n)): images are
+    i%3==0 with width 64+i%128, height 48+i%96."""
+    return f"""
+WITH media AS (
+  SELECT i AS media_id, repeat(sha256('media:' || i), 4) AS payload_hex,
+         64 + i % 128 AS w, 48 + i % 96 AS h
+  FROM range({n}) t(i) WHERE i % 3 = 0
+), grid AS (
+  SELECT media_id, payload_hex,
+         ((h + {patch_px} - 1) // {patch_px})::INT AS n_rows,
+         ((w + {patch_px} - 1) // {patch_px})::INT AS n_cols
+  FROM media
+)
+SELECT media_id, r::INT AS patch_row, c::INT AS patch_col,
+       (r * n_cols + c)::INT AS patch_idx,
+       sha256(payload_hex
+              || lower(lpad(to_hex(r * n_cols + c), 8, '0'))) AS patch_sha
+FROM grid
+CROSS JOIN range(16) rr(r)
+CROSS JOIN range(16) cc(c)
+WHERE r < n_rows AND c < n_cols
+"""
+
+
 def synth_media_df(spark: SparkSession, n: int = SYNTH_N) -> DataFrame:
     """Deterministic synthetic media table for tests: payload =
     sha256('media:{i}') digest ×4 (128 bytes), so its hex string equals
