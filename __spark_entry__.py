@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_wave_order": dq.f1_wave_order,
         "f2_politeness_topk": dq.f2_politeness_topk,
         "f3_retry_gate": dq.f3_retry_gate,
+        "f5_recrawl_schedule": dq.f5_recrawl_schedule,
         "j1_fetch_join": dq.j1_fetch_join,
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
@@ -122,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": ta.unigram_logprob,
         "text_corpus_prep": ta.corpus_prep,
         "text_pack_sequences": tp.pack_sequences,
+        "text_gopher_rules": ta.gopher_rules,
+        "text_dup_spans": ta.dup_spans,
+        "text_keywords_topk": ta.keywords_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -142,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "f1_wave_order": dq.F1_SQL,
         "f2_politeness_topk": dq.F2_SQL,
         "f3_retry_gate": dq.F3_SQL,
+        "f5_recrawl_schedule": dq.F5_SQL,
         "j1_fetch_join": dq.J1_SQL,
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,
@@ -198,6 +203,9 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logprob": ta.unigram_logprob_sql(),
         "text_corpus_prep": ta.corpus_prep_sql(),
         "text_pack_sequences": tp.pack_sequences_sql(),
+        "text_gopher_rules": ta.gopher_rules_sql(),
+        "text_dup_spans": ta.dup_spans_sql(),
+        "text_keywords_topk": ta.keywords_topk_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
         "mm_patchify": tm.patchify_sql(),

@@ -655,3 +655,96 @@ SELECT user_id,
        count(*) AS n
 FROM events GROUP BY 1
 """
+
+
+# --- F5: recrawl / freshness scheduler ---------------------------------------
+# Revisit-policy operator (Cho & Garcia-Molina 2003, "Effective page
+# refresh policies for web crawlers" — public): per page, estimate the
+# change rate from fetch history and derive the next revisit interval.
+# The reference crawler has no freshness layer (it crawls each URL once,
+# src/scheduler.rs dedup-forever semantics); this is engine-added crawl
+# surface for CONTINUOUS crawling, where the frontier is re-seeded from
+# the schedule table each epoch.
+#
+# Fixture mapping: events = fetch observations (user_id = page, ts =
+# fetch time); a "change" = event_type differs from the previous fetch's
+# event_type. Interval = observed span / (changes + 1), clamped to
+# [1 h, 7 d] — ALL integer arithmetic (floored epochs, integer div), so
+# Spark and DuckDB agree bit-for-bit with no FP in the decision path.
+#
+# Scale: one window + one groupBy, both keyed by page id (the natural
+# partition key of a 10^10-row fetch-history table); aggregations are
+# map-side combinable and the window never sees more than one page's
+# history per partition slice.
+RECRAWL_MIN_S = 3600
+RECRAWL_MAX_S = 7 * 86400
+
+
+def f5_recrawl_schedule(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("page_id"),
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    w = Window.partitionBy("page_id").orderBy("event_id")
+    marked = e.withColumn(
+        "changed",
+        (F.col("event_type") != F.lag("event_type").over(w)).cast("int"),
+    )
+    agg = marked.groupBy("page_id").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.coalesce(F.col("changed"), F.lit(0))).cast("long").alias(
+            "n_changes"
+        ),
+        (F.max("ep") - F.min("ep")).cast("long").alias("span_s"),
+        F.max("ep").cast("long").alias("last_epoch"),
+    )
+    interval = F.greatest(
+        F.lit(RECRAWL_MIN_S),
+        F.least(
+            F.lit(RECRAWL_MAX_S),
+            F.expr("span_s div (n_changes + 1)"),
+        ),
+    ).cast("long")
+    return agg.select(
+        "page_id",
+        "n_fetches",
+        "n_changes",
+        "span_s",
+        interval.alias("next_interval_s"),
+        (F.col("last_epoch") + interval).cast("long").alias("next_fetch_epoch"),
+    )
+
+
+F5_SQL = f"""
+WITH obs AS (
+  SELECT user_id AS page_id, event_id, event_type,
+         floor(epoch(ts))::BIGINT AS ep
+  FROM events
+), marked AS (
+  SELECT page_id, ep,
+         CASE WHEN event_type <> lag(event_type)
+                   OVER (PARTITION BY page_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS changed
+  FROM obs
+), agg AS (
+  SELECT page_id,
+         count(*)::BIGINT AS n_fetches,
+         sum(coalesce(changed, 0))::BIGINT AS n_changes,
+         (max(ep) - min(ep))::BIGINT AS span_s,
+         max(ep)::BIGINT AS last_epoch
+  FROM marked GROUP BY 1
+)
+SELECT page_id, n_fetches, n_changes, span_s,
+       greatest({RECRAWL_MIN_S},
+                least({RECRAWL_MAX_S}, span_s // (n_changes + 1)))::BIGINT
+         AS next_interval_s,
+       (last_epoch
+        + greatest({RECRAWL_MIN_S},
+                   least({RECRAWL_MAX_S}, span_s // (n_changes + 1))))::BIGINT
+         AS next_fetch_epoch
+FROM agg
+"""

@@ -979,3 +979,285 @@ SELECT lang,
        sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens
 FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------- Gopher-style hard filters
+# Hard per-document quality gates in the style of the published Gopher
+# rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# Table A1 — public): word-count bounds, mean-word-length bounds, a
+# minimum number of distinct stopwords, and a minimum fraction of
+# alphabetic words. Unlike quality_score (a soft composite) these are
+# boolean gates a curation pipeline ANDs together; the reference crawler
+# has no quality layer at all (items are raw extracted text,
+# src/pipeline.rs), so this is engine-added curation surface.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher hard gates + the final AND. All per-row JVM
+    expressions over one pruned scan — narrow, zero shuffles, pipelines
+    inside the scan at 100 TB. Rule thresholds are the published ones;
+    at this fixture the word-count and stopword gates both actually
+    discriminate (~57%/~62% pass), so keep is non-vacuous."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mwl = (F.length("text") - (n - 1)) / n
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.split(F.lower(F.col("text")), " ")), stop_arr)
+    )
+    alpha = F.size(F.expr("filter(split(text, ' '), t -> t rlike '[a-zA-Z]')")) / n
+    wc_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    mwl_ok = (mwl >= GOPHER_MWL_LO) & (mwl <= GOPHER_MWL_HI)
+    stop_ok = n_stop >= GOPHER_MIN_STOPWORDS
+    alpha_ok = alpha >= GOPHER_MIN_ALPHA_FRAC
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(alpha, 4).alias("alpha_frac"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (wc_ok & mwl_ok & stop_ok & alpha_ok).alias("keep"),
+    )
+
+
+def gopher_rules_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                            [{stops}])) AS n_stop,
+         len(list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
+  FROM documents
+), m AS (
+  SELECT doc_id, n, n_stop,
+         (length(text) - (n - 1))::DOUBLE / n AS mwl,
+         n_alpha::DOUBLE / n AS alpha
+  FROM t
+)
+SELECT doc_id,
+       n::BIGINT AS n_words,
+       round(mwl, 4) AS mean_word_len,
+       n_stop::BIGINT AS n_stopwords,
+       round(alpha, 4) AS alpha_frac,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}) AS wc_ok,
+       (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AS mwl_ok,
+       (n_stop >= {GOPHER_MIN_STOPWORDS}) AS stop_ok,
+       (alpha >= {GOPHER_MIN_ALPHA_FRAC}) AS alpha_ok,
+       (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS}
+        AND mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}
+        AND n_stop >= {GOPHER_MIN_STOPWORDS}
+        AND alpha >= {GOPHER_MIN_ALPHA_FRAC}) AS keep
+FROM m
+"""
+
+
+# --------------------------------------------- duplicated-span detection
+# Exact-substring dedup at SPAN granularity, after Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better") — the
+# Spark analog of the suffix-array duplicated-substring pass. A trigram
+# POSITION is duplicated iff its 3-gram occurs in >= 2 DISTINCT docs;
+# the operator reports, per doc, the longest CONSECUTIVE run of
+# duplicated positions (max_dup_run — the span a span-cutting dedup
+# pass would excise) plus the duplicated-position count. Distinct from
+# boilerplate_fraction (a corpus-frequency SHARE at >= 5 docs) and from
+# repetition_scores (WITHIN-doc repetition): this is position-aware and
+# yields the actual cut-list signal.
+DUPSPAN_SEED = 91
+DUPSPAN_MIN_DOCS = 2
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span stats: n_ngrams, dup_ngrams, max_dup_run.
+
+    Scale (100 TB): shingles are hashed to 60-bit ints BEFORE any
+    shuffle (slim keys; the oracle applies the identical hash, so a
+    collision — expected N^2/2^61 — is mirrored, never a parity break).
+    The sha-explode is STAGED once (persist via the dedup cache registry
+    — release with textops.dedup.release_staged_caches()): it feeds both
+    the per-hash doc-frequency agg and the join back, and recomputing
+    two digests per shingle x2 is the dominant cost. Run detection is a
+    SINGLE linear chain — conditional cumulative sum over one per-doc
+    window (grp = pos - running dup count), then gaps-and-islands via
+    groupBy(doc, grp) where all non-dup positions of a doc share the
+    NULL group — no self-join of the marked frame. Integer-only logic,
+    so cross-engine bit-stability is free."""
+    from spider_core_spark.textops.dedup import (
+        _docs_tokens,
+        _h64_spark,
+        _shingles_spark,
+        _stage,
+    )
+
+    d = _docs_tokens(spark, sf_dir)
+    occ = _stage(
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(_shingles_spark("_toks"))).alias("pos", "sh"),
+        ).select(
+            "doc_id", "pos", F.expr(_h64_spark("sh", DUPSPAN_SEED)).alias("shash")
+        )
+    )
+    nd = (
+        occ.select("doc_id", "shash")
+        .distinct()
+        .groupBy("shash")
+        .agg(F.count("*").alias("nd"))
+    )
+    marked = occ.join(nd, "shash").select(
+        "doc_id", "pos", (F.col("nd") >= DUPSPAN_MIN_DOCS).alias("isdup")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = marked.withColumn(
+        "grp",
+        F.when(
+            F.col("isdup"),
+            F.col("pos") - F.sum(F.col("isdup").cast("int")).over(w),
+        ),
+    )
+    runs = grouped.groupBy("doc_id", "grp").agg(F.count("*").alias("cnt"))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("grp").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("dup_ngrams"),
+            F.max(
+                F.when(F.col("grp").isNotNull(), F.col("cnt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_dup_run"),
+        )
+    )
+
+
+def dup_spans_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+    from spider_core_spark.textops.dedup import _shingles_duck
+
+    h = h64_duckdb("sh", seed=DUPSPAN_SEED)
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT doc_id, pos, {h} AS shash
+  FROM (SELECT doc_id,
+               generate_subscripts({_shingles_duck()}, 1) - 1 AS pos,
+               unnest({_shingles_duck()}) AS sh
+        FROM documents)
+), nd AS (
+  SELECT shash, count(*) AS nd
+  FROM (SELECT DISTINCT doc_id, shash FROM occ) GROUP BY 1
+), marked AS (
+  SELECT occ.doc_id, occ.pos, (nd.nd >= {DUPSPAN_MIN_DOCS}) AS isdup
+  FROM occ JOIN nd USING (shash)
+), grouped AS (
+  SELECT doc_id,
+         CASE WHEN isdup THEN pos - sum(CASE WHEN isdup THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING)
+         END AS grp
+  FROM marked
+), runs AS (
+  SELECT doc_id, grp, count(*) AS cnt FROM grouped GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(cnt)::BIGINT AS n_ngrams,
+       sum(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END)::BIGINT
+         AS dup_ngrams,
+       max(CASE WHEN grp IS NOT NULL THEN cnt ELSE 0 END)::BIGINT
+         AS max_dup_run
+FROM runs GROUP BY 1
+"""
+
+
+# ------------------------------------------------- per-doc top keywords
+# tf-idf-family keyword extraction with the idf log DROPPED: lift =
+# tf-rate / corpus-df-rate = c*N / (n_tok*df). Log-free on purpose —
+# every score is then ONE correctly-rounded IEEE division of exact
+# int64 products, bit-stable across Spark and DuckDB (libm ln differs
+# in the last ulp between engines, which a value-hash gate cannot
+# tolerate). Ordering ties broken by token, so top-k is deterministic.
+KEYWORDS_TOPK = 3
+
+
+def keywords_topk(spark: SparkSession, sf_dir: str, k: int = KEYWORDS_TOPK) -> DataFrame:
+    """Per-doc top-k salient keywords by relative-frequency lift.
+
+    Plan: one explode + a map-side-combinable doc-term count, STAGED
+    once (persist via the dedup cache registry — it feeds both the
+    document-frequency agg and the scoring join; release with
+    textops.dedup.release_staged_caches()). Per-doc token totals ride a
+    window-sum over the SAME doc_id partitioning the rank window needs
+    (no extra join); document frequency is a token-keyed combinable agg
+    joined back (AQE broadcasts it when the vocab is small). The window
+    input is |distinct terms per doc| rows, never raw tokens."""
+    from spider_core_spark.textops.dedup import _stage
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # driver scalar: one pruned count job
+    occ = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = _stage(occ.groupBy("doc_id", "token").agg(F.count("*").alias("c")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id")
+    lift = (F.col("c") * F.lit(n_docs)) / (F.col("n_tok") * F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_lift").desc(), F.col("token").asc()
+    )
+    return (
+        tf.withColumn("n_tok", F.sum("c").over(w_doc))
+        .join(dfreq, "token")
+        .withColumn("_lift", lift)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "token",
+            F.round("_lift", 4).alias("lift"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def keywords_topk_sql(k: int = KEYWORDS_TOPK) -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS c FROM occ GROUP BY 1, 2
+), nt AS (
+  SELECT doc_id, sum(c) AS n_tok FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         (tf.c * n.n_docs)::DOUBLE / (nt.n_tok * dfreq.df) AS _lift
+  FROM tf
+  CROSS JOIN n
+  JOIN nt USING (doc_id)
+  JOIN dfreq USING (token)
+)
+SELECT doc_id, token, round(_lift, 4) AS lift, rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY _lift DESC, token) AS rank
+      FROM scored)
+WHERE rank <= {k}
+"""

@@ -79,3 +79,29 @@ def test_serve_from_cache_counts(spark):
     acts = {r["url"]: r[mw.ACTION] for r in out.collect()}
     assert acts["https://a.test/1"] == mw.SERVE
     assert acts["https://a.test/2"] == mw.CONTINUE
+
+
+def test_recrawl_schedule_semantics(spark):
+    """F5 revisit policy: interval clamped to [MIN, MAX], equals
+    span // (changes + 1) inside the clamp, and next fetch time is
+    last observation + interval."""
+    from spider_core_spark.plans import demo_queries as dq
+
+    rows = dq.f5_recrawl_schedule(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_changes"] < r["n_fetches"]
+        raw = r["span_s"] // (r["n_changes"] + 1)
+        expect = max(dq.RECRAWL_MIN_S, min(dq.RECRAWL_MAX_S, raw))
+        assert r["next_interval_s"] == expect
+        assert dq.RECRAWL_MIN_S <= r["next_interval_s"] <= dq.RECRAWL_MAX_S
+        assert r["next_fetch_epoch"] > r["span_s"]  # epoch-scale, not span
+    # pages that change more often are rescheduled sooner (policy is
+    # monotone in the change rate, up to the clamp)
+    by_rate = sorted(
+        (r for r in rows if r["next_interval_s"] not in
+         (dq.RECRAWL_MIN_S, dq.RECRAWL_MAX_S)),
+        key=lambda r: r["span_s"] / (r["n_changes"] + 1),
+    )
+    ints = [r["next_interval_s"] for r in by_rate]
+    assert ints == sorted(ints)

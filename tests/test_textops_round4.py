@@ -97,3 +97,71 @@ def test_pack_chunk_budget_matches_corpus_prep_arithmetic(spark):
         total = sum(r["n_tokens"] for r in rows)
         max_end = max(r["end_chunk"] for r in rows)
         assert max_end + 1 == (total + tp.CHUNK_TOKENS - 1) // tp.CHUNK_TOKENS
+
+
+def test_gopher_rules_gate_semantics(spark):
+    rows = ta.gopher_rules(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["keep"] == (
+            r["wc_ok"] and r["mwl_ok"] and r["stop_ok"] and r["alpha_ok"]
+        )
+        assert r["wc_ok"] == (
+            ta.GOPHER_MIN_WORDS <= r["n_words"] <= ta.GOPHER_MAX_WORDS
+        )
+        assert r["stop_ok"] == (r["n_stopwords"] >= ta.GOPHER_MIN_STOPWORDS)
+        assert 0.0 <= r["alpha_frac"] <= 1.0
+    kept = sum(r["keep"] for r in rows)
+    # both outcomes occur — the gate actually discriminates on the fixture
+    assert 0 < kept < len(rows)
+
+
+def test_dup_spans_cross_doc_semantics(spark):
+    rows = {r["doc_id"]: r for r in ta.dup_spans(spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    for r in rows.values():
+        assert 0 <= r["dup_ngrams"] <= r["n_ngrams"]
+        assert 0 <= r["max_dup_run"] <= r["dup_ngrams"]
+        assert (r["max_dup_run"] == 0) == (r["dup_ngrams"] == 0)
+    # brute-force cross-check on a 25-doc sample: position i is duplicated
+    # iff its trigram occurs in >= 2 distinct documents; max_dup_run is the
+    # longest consecutive duplicated-position run
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    from collections import defaultdict
+
+    holder = defaultdict(set)
+    grams = {}
+    for did, toks in docs.items():
+        g = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))]
+        grams[did] = g
+        for x in set(g):
+            holder[x].add(did)
+    for did in sorted(docs)[:25]:
+        flags = [len(holder[x]) >= 2 for x in grams[did]]
+        best = cur = 0
+        for f in flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        assert rows[did]["n_ngrams"] == len(flags)
+        assert rows[did]["dup_ngrams"] == sum(flags)
+        assert rows[did]["max_dup_run"] == best
+
+
+def test_keywords_topk_shape_and_membership(spark):
+    out = ta.keywords_topk(spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    per_doc = {}
+    for r in out:
+        assert 1 <= r["rank"] <= ta.KEYWORDS_TOPK
+        assert r["lift"] > 0
+        assert r["token"] in docs[r["doc_id"]]
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    assert len(per_doc) == 500
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
