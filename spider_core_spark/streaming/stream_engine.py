@@ -353,10 +353,27 @@ class StreamingCrawlEngine:
                 busy = prog is not None and prog["numInputRows"] > 0
                 if busy:
                     self._active = time.monotonic()
-                if time.monotonic() - self._active > idle_timeout_s:
-                    break
                 if query.exception() is not None:
                     raise query.exception()
+                if time.monotonic() - self._active <= idle_timeout_s:
+                    continue
+                # Idle — but stop() INTERRUPTS an in-flight trigger, and a
+                # batch killed mid-write leaves a truncated parked/items
+                # parquet for that batch id. Drain the active trigger first
+                # (bounded — a genuinely hung batch still gets stopped),
+                # then re-check: a slow batch that just finished may have
+                # refreshed _active from inside _process_batch, in which
+                # case the stream is NOT idle and the loop continues. Safe
+                # vs livelock: parked rows are never re-emitted, so a
+                # starved stream's triggers are empty and drain instantly.
+                deadline = time.monotonic() + max(idle_timeout_s, 30.0)
+                while (
+                    query.status["isTriggerActive"]
+                    and time.monotonic() < deadline
+                ):
+                    time.sleep(0.25)
+                if time.monotonic() - self._active > idle_timeout_s:
+                    break
         finally:
             query.stop()
 
