@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_politeness_topk": dq.f2_politeness_topk,
         "f3_retry_gate": dq.f3_retry_gate,
         "f5_recrawl_schedule": dq.f5_recrawl_schedule,
+        "f6_pagerank_priority": dq.f6_pagerank_priority,
         "j1_fetch_join": dq.j1_fetch_join,
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
@@ -126,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": ta.gopher_rules,
         "text_dup_spans": ta.dup_spans,
         "text_keywords_topk": ta.keywords_topk,
+        "text_quality_classifier": ta.quality_classifier,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "f2_politeness_topk": dq.F2_SQL,
         "f3_retry_gate": dq.F3_SQL,
         "f5_recrawl_schedule": dq.F5_SQL,
+        "f6_pagerank_priority": dq.F6_SQL,
         "j1_fetch_join": dq.J1_SQL,
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,
@@ -206,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_rules": ta.gopher_rules_sql(),
         "text_dup_spans": ta.dup_spans_sql(),
         "text_keywords_topk": ta.keywords_topk_sql(),
+        "text_quality_classifier": ta.quality_classifier_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
         "mm_patchify": tm.patchify_sql(),

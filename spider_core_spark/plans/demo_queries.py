@@ -748,3 +748,144 @@ SELECT page_id, n_fetches, n_changes, span_s,
          AS next_fetch_epoch
 FROM agg
 """
+
+
+# --- F6: link-graph PageRank frontier priority --------------------------------
+# Distributed link-analysis prioritization for the frontier (Cho,
+# Garcia-Molina & Page 1998, "Efficient crawling through URL ordering" —
+# public): crawl important pages first, importance = PageRank over the
+# link graph observed so far. The reference orders its frontier by a
+# static per-request priority (src/scheduler.rs BinaryHeap); this adds
+# the graph-derived priority a large-scale crawler feeds back into that
+# field each epoch.
+#
+# Fixture mapping: pages = user_id space; each event contributes one
+# directed edge page(user_id) -> page(h64(event_id) % U), U = max page
+# id + 1 (a deterministic synthetic link observed at that event).
+# Multi-edges keep their multiplicity (a page linking twice votes
+# twice), self-loops are dropped.
+#
+# ALL-INTEGER PageRank (3 unrolled iterations, damping 85/100, scale
+# 10^6): contribution = rank div out_degree, new rank = 15% of scale +
+# 85% of summed contributions, every step int64 `div` — bit-identical
+# across Spark and DuckDB with zero FP summation-order hazard. Mass
+# leaked by dangling pages and by integer-div remainders is NOT
+# redistributed (documented lost-mass variant); ranks are a priority
+# SIGNAL, not a probability distribution.
+#
+# Scale (10^10-edge graph): the per-iteration cost is one shuffle join
+# of ranks (node-keyed, |V| rows) against edges on src plus one
+# map-side-combinable groupBy(dst); out-degrees are computed once. With
+# a fixed iteration count the plan is fully unrolled and declarative —
+# Catalyst sees one tree, AQE sizes every exchange. The node frame is
+# spark.range(U) (no driver materialization); the only driver scalar is
+# U itself (one agg job, the rank.py offsets pattern).
+PR_SEED = 53
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 3
+
+
+def f6_pagerank_priority(spark, sf_dir):
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    ev = _t(spark, sf_dir, "events")
+    u_max = ev.agg(F.max("user_id")).collect()[0][0]  # driver scalar
+    n_nodes = int(u_max) + 1
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (
+            F.expr(_h64_spark("cast(event_id as string)", PR_SEED))
+            % n_nodes
+        ).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    nodes = spark.range(n_nodes).select(F.col("id").cast("long").alias("page_id"))
+    ranks = nodes.select("page_id", F.lit(PR_SCALE).cast("long").alias("rank"))
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.page_id)
+            .select(
+                F.col("dst").alias("page_id"),
+                F.expr("rank div deg").cast("long").alias("c"),
+            )
+            .groupBy("page_id")
+            .agg(F.sum("c").cast("long").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "page_id", "left")
+            .select(
+                "page_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(csum, 0)) div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    # rank -> crawl order via the TWO-PHASE global rank (operators/rank.py):
+    # |V| is 10^10 at web scale, so a bare row_number() window (single
+    # partition) would be the bottleneck; the helper range-partitions on
+    # (-rank, page_id) and offsets intra-partition row numbers. Its
+    # persisted output is registered with the textops staged-cache
+    # registry — callers (bench.py does) release via
+    # textops.dedup.release_staged_caches().
+    from spider_core_spark.operators.rank import with_global_rank
+    from spider_core_spark.textops.dedup import _STAGED
+
+    ranked, _ = with_global_rank(
+        ranks.withColumn("_neg", (-F.col("rank")).cast("long")),
+        ["_neg", "page_id"],
+        "_ord",
+    )
+    _STAGED.append(ranked)
+    return ranked.select(
+        "page_id", "rank", (F.col("_ord") + 1).cast("long").alias("fetch_order")
+    )
+
+
+def _f6_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(event_id as varchar)", seed=PR_SEED)
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    it = """
+, r{i} AS (
+  SELECT n.page_id,
+         ({base} + ({dn} * COALESCE(c.csum, 0)) // {dd})::BIGINT AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS page_id, sum(r.rank // d.deg)::BIGINT AS csum
+    FROM edges e JOIN deg d USING (src) JOIN r{p} r ON r.page_id = e.src
+    GROUP BY 1
+  ) c USING (page_id)
+)"""
+    iters = "".join(
+        it.format(i=i, p=i - 1, base=base, dn=PR_DAMP_NUM, dd=PR_DAMP_DEN)
+        for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH u AS (
+  SELECT (max(user_id) + 1)::BIGINT AS n FROM events
+), edges AS (
+  SELECT user_id::BIGINT AS src,
+         ({h} % (SELECT n FROM u))::BIGINT AS dst
+  FROM events
+  WHERE user_id::BIGINT <> ({h} % (SELECT n FROM u))::BIGINT
+), deg AS (
+  SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT unnest(generate_series(0, (SELECT n FROM u) - 1))::BIGINT AS page_id
+), r0 AS (
+  SELECT page_id, {PR_SCALE}::BIGINT AS rank FROM nodes
+){iters}
+SELECT page_id, rank,
+       row_number() OVER (ORDER BY rank DESC, page_id ASC)::BIGINT
+         AS fetch_order
+FROM r{PR_ITERS}
+"""
+
+
+F6_SQL = _f6_sql()

@@ -1261,3 +1261,88 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       FROM scored)
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------- hashed linear quality classifier
+# The model-scoring stage of a modern curation pipeline (DCLM /
+# FineWeb-Edu style): a linear classifier over hashing-trick token
+# features scores every document, and the pipeline keeps docs above a
+# margin. In production the per-bucket weights come from a trained
+# fastText/logistic model shipped as a broadcast array; here the weights
+# are a deterministic hash-derived stand-in (w(b) = h64('w:'||b) mod
+# 2001 - 1000, an integer in [-1000, 1000]) with IDENTICAL plumbing —
+# the point is the Spark shape, which is exactly what a real model uses:
+# bucket = h64(token) % D and the weight lookup are per-row JVM
+# expressions FUSED INTO THE SCAN (with a real model, a broadcast
+# array-indexing expression — never a join, never a Python UDF), so the
+# only shuffle is the map-side-combinable per-doc sum. Integer weights
+# make the score an exact int64 sum — bit-stable across engines with no
+# FP summation-order hazard, the same trick source_mix uses.
+CLASSIFIER_BUCKETS = 1024
+CLASSIFIER_HASH_SEED = 31
+CLASSIFIER_WEIGHT_SEED = 37
+CLASSIFIER_MARGIN = 0  # keep iff score_sum >= margin * n_toks
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc linear classifier score over hashed token features.
+
+    Columns: doc_id, n_toks, score_sum (exact int64 dot product),
+    score_mean_x1000 (integer-scaled mean, `div` so no FP), keep.
+
+    Scale (100 TB): one explode + one combinable groupBy(doc_id); the
+    (doc_id, token)->bucket->weight path never leaves whole-stage
+    codegen and doc_id is a near-unique shuffle key, so skew tracks
+    document length only. No joins, no staged caches, no driver state.
+    """
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucket = f"({_h64_spark('tok', CLASSIFIER_HASH_SEED)} % {CLASSIFIER_BUCKETS})"
+    weight = (
+        f"({_h64_spark(f'cast({bucket} as string)', CLASSIFIER_WEIGHT_SEED)}"
+        f" % 2001 - 1000)"
+    )
+    scored = toks.select("doc_id", F.expr(weight).cast("long").alias("w"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_toks"),
+        F.sum("w").cast("long").alias("score_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        "score_sum",
+        F.expr("(score_sum * 1000) div n_toks").cast("long").alias(
+            "score_mean_x1000"
+        ),
+        (F.col("score_sum") >= CLASSIFIER_MARGIN * F.col("n_toks")).alias(
+            "keep"
+        ),
+    )
+
+
+def quality_classifier_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    bucket = f"({h64_duckdb('tok', seed=CLASSIFIER_HASH_SEED)} % {CLASSIFIER_BUCKETS})"
+    weight = (
+        f"({h64_duckdb(f'cast({bucket} as varchar)', seed=CLASSIFIER_WEIGHT_SEED)}"
+        f" % 2001 - 1000)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), scored AS (
+  SELECT doc_id, {weight}::BIGINT AS w FROM toks
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(w)::BIGINT AS score_sum
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_toks, score_sum,
+       ((score_sum * 1000) // n_toks)::BIGINT AS score_mean_x1000,
+       (score_sum >= {CLASSIFIER_MARGIN} * n_toks) AS keep
+FROM agg
+"""

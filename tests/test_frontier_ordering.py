@@ -105,3 +105,48 @@ def test_recrawl_schedule_semantics(spark):
     )
     ints = [r["next_interval_s"] for r in by_rate]
     assert ints == sorted(ints)
+
+
+def test_pagerank_priority_matches_pure_python(spark):
+    """F6 integer PageRank: bit-exact vs an independent pure-Python
+    replica on the same synthetic edge derivation, plus structural
+    invariants (rank floor = teleport base, fetch_order a permutation)."""
+    from spider_core_spark.functions.hashing import h64_py
+    from spider_core_spark.plans import demo_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["page_id"]: r for r in dq.f6_pagerank_priority(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id"
+    ).collect()
+    n = max(r["user_id"] for r in ev) + 1
+    edges = []
+    for r in ev:
+        dst = h64_py(str(r["event_id"]), seed=dq.PR_SEED) % n
+        if dst != r["user_id"]:
+            edges.append((r["user_id"], dst))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = (dq.PR_SCALE * (dq.PR_DAMP_DEN - dq.PR_DAMP_NUM)) // dq.PR_DAMP_DEN
+    rank = {p: dq.PR_SCALE for p in range(n)}
+    for _ in range(dq.PR_ITERS):
+        csum = {}
+        for s, d in edges:
+            csum[d] = csum.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            p: base + (dq.PR_DAMP_NUM * csum.get(p, 0)) // dq.PR_DAMP_DEN
+            for p in range(n)
+        }
+
+    assert len(out) == n
+    for p in range(n):
+        assert out[p]["rank"] == rank[p], p
+        assert out[p]["rank"] >= base
+    has_in = {d for _, d in edges}
+    for p in range(n):
+        assert (out[p]["rank"] == base) == (p not in has_in)
+    assert sorted(r["fetch_order"] for r in out.values()) == list(
+        range(1, n + 1)
+    )

@@ -165,3 +165,34 @@ def test_keywords_topk_shape_and_membership(spark):
     assert len(per_doc) == 500
     for ranks in per_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_quality_classifier_exact_scores(spark):
+    """Hashed-linear classifier: per-doc int64 dot product matches a
+    pure-Python replica of bucket->weight on a 25-doc sample; derived
+    columns are consistent; both keep outcomes occur on the fixture."""
+    from spider_core_spark.functions.hashing import h64_py
+
+    rows = {r["doc_id"]: r for r in ta.quality_classifier(spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    kept = sum(r["keep"] for r in rows.values())
+    assert 0 < kept < len(rows)
+    for r in rows.values():
+        assert r["keep"] == (r["score_sum"] >= ta.CLASSIFIER_MARGIN * r["n_toks"])
+        q = (r["score_sum"] * 1000) / r["n_toks"]
+        assert r["score_mean_x1000"] == int(q)  # trunc-toward-zero div
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    wcache = {}
+    for did in sorted(docs)[:25]:
+        s = 0
+        for tok in docs[did]:
+            b = h64_py(tok, seed=ta.CLASSIFIER_HASH_SEED) % ta.CLASSIFIER_BUCKETS
+            if b not in wcache:
+                wcache[b] = h64_py(str(b), seed=ta.CLASSIFIER_WEIGHT_SEED) % 2001 - 1000
+            s += wcache[b]
+        assert rows[did]["score_sum"] == s
+        assert rows[did]["n_toks"] == len(docs[did])
