@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": ta.dup_spans,
         "text_keywords_topk": ta.keywords_topk,
         "text_quality_classifier": ta.quality_classifier,
+        "text_cms_heavyhitters": ta.cms_heavyhitters,
+        "text_split_assign": ta.split_assign,
+        "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -210,6 +213,9 @@ def oracle_sql() -> dict[str, str]:
         "text_dup_spans": ta.dup_spans_sql(),
         "text_keywords_topk": ta.keywords_topk_sql(),
         "text_quality_classifier": ta.quality_classifier_sql(),
+        "text_cms_heavyhitters": ta.cms_heavyhitters_sql(),
+        "text_split_assign": ta.split_assign_sql(),
+        "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
         "mm_patchify": tm.patchify_sql(),

@@ -1346,3 +1346,188 @@ SELECT doc_id, n_toks, score_sum,
        (score_sum >= {CLASSIFIER_MARGIN} * n_toks) AS keep
 FROM agg
 """
+
+
+# ------------------------------------------- count-min sketch heavy hitters
+# Sketch-based frequency estimation (Cormode & Muthukrishnan 2005 — the
+# count-min sketch): a DEPTH x WIDTH grid of counters where token t
+# increments cell (d, h_d(t) % WIDTH) per occurrence; est(t) = min_d of
+# its cells, always >= the true count. THE fixed-memory answer to
+# "which URLs/tokens are hot" on a 100-TB stream where the exact vocab
+# doesn't fit anywhere: the sketch agg has DEPTH*WIDTH distinct keys, so
+# map-side partial aggregation collapses every partition's contribution
+# to <= 1024 rows before the shuffle (vs a full-vocab-cardinality
+# shuffle for the exact count), and the finished 1024-row sketch
+# BROADCASTS to wherever estimates are needed. Integer counters end to
+# end — bit-stable with zero effort.
+#
+# The registered query reports the exact top-K tokens with their true
+# and estimated counts side by side, so the oracle certifies BOTH the
+# sketch contents and the one-sided error (est >= true; the
+# over-estimate is the collision mass the 4x256 grid absorbs at this
+# vocab size).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_SEEDS = [101, 103, 107, 109]
+CMS_TOPK = 10
+
+
+def cms_heavyhitters(spark: SparkSession, sf_dir: str, k: int = CMS_TOPK) -> DataFrame:
+    """Exact top-k tokens with count-min-sketch estimates.
+
+    Plan: one explode feeds (a) the exact vocab count (combinable, the
+    comparison target) and (b) the sketch agg — DEPTH rows per token via
+    one inline array explode, groupBy (d, bucket) with <= DEPTH*WIDTH
+    groups. Estimates join the k candidate rows against the broadcast
+    sketch per depth and take the min. At scale only (b) and the
+    candidate join survive; (a) exists to certify the sketch here."""
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (
+                            F.expr(_h64_spark("tok", CMS_SEEDS[i]))
+                            % CMS_WIDTH
+                        ).cast("int").alias("b"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.b")
+    sketch = cells.groupBy("d", "b").agg(F.count("*").cast("long").alias("c"))
+
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("true_c"))
+    w = Window.orderBy(F.desc("true_c"), F.asc("tok"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )  # window input is the aggregated vocab (vocab_topk pattern)
+    probes = top.select(
+        "tok",
+        "true_c",
+        "rank",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        (
+                            F.expr(_h64_spark("tok", CMS_SEEDS[i]))
+                            % CMS_WIDTH
+                        ).cast("int").alias("b"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "true_c", "rank", "cell.d", "cell.b")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("tok", "true_c", "rank")
+        .agg(F.min("c").cast("long").alias("est_c"))
+        .select(
+            "tok",
+            "true_c",
+            "est_c",
+            (F.col("est_c") - F.col("true_c")).cast("long").alias("overcount"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def cms_heavyhitters_sql(k: int = CMS_TOPK) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT tok, {i} AS d, ({h64_duckdb('tok', seed=CMS_SEEDS[i])} % {CMS_WIDTH})::INT AS b FROM toks"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), cells AS (
+  {cell_rows}
+), sketch AS (
+  SELECT d, b, count(*)::BIGINT AS c FROM cells GROUP BY 1, 2
+), counts AS (
+  SELECT tok, count(*)::BIGINT AS true_c FROM toks GROUP BY 1
+), top AS (
+  SELECT tok, true_c, rank FROM (
+    SELECT tok, true_c,
+           row_number() OVER (ORDER BY true_c DESC, tok ASC) AS rank
+    FROM counts
+  ) WHERE rank <= {k}
+), probes AS (
+  SELECT t.tok, t.true_c, t.rank, c.d, c.b
+  FROM top t JOIN (SELECT DISTINCT tok, d, b FROM cells) c USING (tok)
+)
+SELECT p.tok, p.true_c, min(s.c)::BIGINT AS est_c,
+       (min(s.c) - p.true_c)::BIGINT AS overcount,
+       p.rank::BIGINT AS rank
+FROM probes p JOIN sketch s USING (d, b)
+GROUP BY p.tok, p.true_c, p.rank
+"""
+
+
+# ------------------------------------------ deterministic train/val/test split
+# The last stage of corpus prep: assign every kept document to
+# train/val/test by hash threshold — no RNG, so a re-run of a failed
+# 100-TB stage (or a later incremental snapshot) assigns the SAME split
+# to the same doc_id, and the split is stratified implicitly (the hash
+# is uniform within every stratum). Per-row JVM expression + one
+# combinable groupBy for the report; zero joins.
+SPLIT_SEED = 83
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) doc and whitespace-token totals under the
+    deterministic hash split."""
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir)
+    pct = F.expr(_h64_spark("cast(doc_id as string)", SPLIT_SEED)) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def split_assign_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=SPLIT_SEED)
+    return f"""
+WITH a AS (
+  SELECT lang,
+         CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM a GROUP BY 1, 2
+"""

@@ -246,3 +246,104 @@ QUALIFY rank <= {TOP_K}
 
 
 ANN_IVF_SQL = ann_ivf_sql()  # default-(k, nprobe) oracle (sf0.01 gate)
+
+
+# ------------------------------------------------ int8-quantized ANN top-k
+# Scalar quantization for similarity search at 100 TB: embeddings are
+# stored/scanned as int8 codes (4x smaller than float32 — the scan is
+# memory-bandwidth-bound, so that is ~4x throughput) with one
+# per-vector scale (symmetric max-abs quantization, the faiss
+# ScalarQuantizer QT_8bit recipe); candidate scoring is an EXACT INT64
+# dot product of the codes (deterministic — no FP accumulation order
+# hazard), and only the final cosine normalization touches doubles
+# (correctly-rounded IEEE division/sqrt of exact integers, identical in
+# both engines). The registered query reports the quantized cosine AND
+# the exact float cosine side by side, so the oracle certifies the
+# quantization error observed at this fixture, not just the ranking.
+INT8_SCALE = 127
+
+
+def _quantize(vcol):
+    s = F.array_max(F.transform(vcol, lambda x: F.abs(x)))
+    q = F.transform(
+        vcol, lambda x: F.round(F.lit(float(INT8_SCALE)) * x / s).cast("long")
+    )
+    return F.when(s == 0.0, F.transform(vcol, lambda x: F.lit(0).cast("long"))).otherwise(q)
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8-quantized cosine (exact-int dot product), with the
+    float cosine alongside. Same broadcast-queries/one-scan shape as the
+    brute-force baseline; at scale the corpus scan reads the int8 code
+    column instead of float32 (4x less IO) and the code dot product is
+    integer SIMD on the JVM."""
+    e = _emb(spark, sf_dir).withColumn("q8", _quantize(F.col("v")))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("q8").alias("qq8"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq8", "q8", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "qcos",
+            F.round(
+                dot
+                / (F.sqrt(nq(F.col("qq8"))) * F.sqrt(nq(F.col("q8")))),
+                6,
+            ),
+        )
+        .withColumn("cos", _cos(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qcos",
+            "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ANN_INT8_SQL = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max([abs(x) for x in v]) = 0
+              THEN [0::BIGINT for x in v]
+              ELSE [round({INT8_SCALE} * x / list_max([abs(y) for y in v]))::BIGINT
+                    for x in v]
+         END AS q8
+  FROM e0
+),
+q AS (SELECT vec_id AS query_id, v AS qv, q8 AS qq8 FROM e
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_sum([q.qq8[i] * e.q8[i] for i in range(1, len(e.q8) + 1)]) /
+               (sqrt(list_sum([x * x for x in q.qq8])) *
+                sqrt(list_sum([x * x for x in e.q8]))), 6) AS qcos,
+         round(list_sum([q.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) /
+               (sqrt(list_sum([x * x for x in q.qv])) *
+                sqrt(list_sum([x * x for x in e.v]))), 6) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, qcos, cos,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY qcos DESC, vec_id ASC)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+"""

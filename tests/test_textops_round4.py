@@ -196,3 +196,76 @@ def test_quality_classifier_exact_scores(spark):
             s += wcache[b]
         assert rows[did]["score_sum"] == s
         assert rows[did]["n_toks"] == len(docs[did])
+
+
+def test_cms_heavyhitters_one_sided_error(spark):
+    """Count-min guarantee: est >= true for every reported token; the
+    exact top-k matches a pure-Python count; overcount is the reported
+    difference."""
+    from collections import Counter
+
+    rows = ta.cms_heavyhitters(spark, SF_DIR).collect()
+    assert len(rows) == ta.CMS_TOPK
+    assert sorted(r["rank"] for r in rows) == list(range(1, ta.CMS_TOPK + 1))
+    for r in rows:
+        assert r["est_c"] >= r["true_c"] > 0
+        assert r["overcount"] == r["est_c"] - r["true_c"]
+
+    cnt = Counter()
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        cnt.update(r["text"].split(" "))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: ta.CMS_TOPK]
+    got = [(r["tok"], r["true_c"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == expect
+
+
+def test_split_assign_partitions_corpus(spark):
+    """Hash split: per-lang totals reassemble the corpus exactly and the
+    assignment is deterministic across invocations."""
+    rows = ta.split_assign(spark, SF_DIR).collect()
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    by_lang = {}
+    for r in rows:
+        a = by_lang.setdefault(r["lang"], [0, 0])
+        a[0] += r["n_docs"]
+        a[1] += r["total_tokens"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    from collections import Counter
+
+    truth = Counter()
+    ttoks = Counter()
+    for r in docs:
+        truth[r["lang"]] += 1
+        ttoks[r["lang"]] += len(r["text"].split(" "))
+    assert {k: v[0] for k, v in by_lang.items()} == dict(truth)
+    assert {k: v[1] for k, v in by_lang.items()} == dict(ttoks)
+    again = sorted(
+        (r["lang"], r["split"], r["n_docs"], r["total_tokens"])
+        for r in ta.split_assign(spark, SF_DIR).collect()
+    )
+    assert again == sorted(
+        (r["lang"], r["split"], r["n_docs"], r["total_tokens"]) for r in rows
+    )
+    n_train = sum(r["n_docs"] for r in rows if r["split"] == "train")
+    n_all = sum(r["n_docs"] for r in rows)
+    assert 0.7 < n_train / n_all < 0.9  # ~80% by construction
+
+
+def test_ann_int8_tracks_exact_cosine(spark):
+    """Quantized cosine stays close to the exact one on every reported
+    pair, and per-query ranks are a clean 1..k permutation ordered by
+    the QUANTIZED score (the column a scale deployment ranks by)."""
+    from spider_core_spark.textops import similarity as ts
+
+    rows = ts.ann_int8_topk(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        assert abs(r["qcos"] - r["cos"]) < 0.02, r
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["qcos"]))
+    assert len(per_q) == ts.N_QUERIES
+    for q, rr in per_q.items():
+        rr.sort()
+        assert [x[0] for x in rr] == list(range(1, ts.TOP_K + 1))
+        qc = [x[1] for x in rr]
+        assert qc == sorted(qc, reverse=True)
