@@ -1,0 +1,153 @@
+"""Streaming crawl telemetry — the reference's live stats loop
+(src/stats.rs:54-95, printed per tick by src/crawler/core.rs) re-expressed
+on the two Structured Streaming surfaces the batch engine doesn't touch:
+
+- ``windowed_host_metrics`` — per-host tumbling EVENT-TIME windows with a
+  watermark: fetch observations arrive late and out of order (a crawl's
+  responses always do), rows later than the watermark are dropped, and a
+  window finalizes (append mode) only once the watermark passes its end —
+  the distributed answer to "requests/sec per host over the last minute"
+  that a driver-side counter can't give at 1000 executors.
+
+- ``host_ema_state`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-host EMA of response time carried in
+  managed state across micro-batches (and across restarts via the
+  checkpoint), the streaming twin of the engine's A8 per-host feedback
+  term. The EMA recursion mirrors ``plans/report.ema_series`` (α = 0.2,
+  src/stats.rs:80-89) but in EXACT INTEGER arithmetic —
+  ema' = (2·x + 8·ema) div 10 on milliseconds — so state is
+  deterministic and replay-stable (no float accumulation drift between a
+  run and its checkpoint-recovered twin).
+
+Both operate on the observation schema the engine's metrics sink writes
+(host, ts, bytes, status, transport_ms), so a deployment can point them
+at the live metrics directory and get a dashboard stream for free.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OBS_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("bytes", LongType()),
+        StructField("status", IntegerType()),
+        StructField("transport_ms", LongType()),
+    ]
+)
+
+# exact-integer EMA, α = 0.2 (= 2/10): mirrors plans/report.ema_series
+# which seeds the recursion from 0 (reference initializes *rate = 0.0 and
+# folds alpha*x + (1-alpha)*rate, src/stats.rs:80-89)
+EMA_NUM, EMA_DEN = 2, 10
+
+_EMA_OUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_obs", LongType()),
+        StructField("ema_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+_EMA_STATE = StructType(
+    [StructField("ema_ms", LongType()), StructField("n_obs", LongType())]
+)
+
+
+def windowed_host_metrics(
+    obs: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-host tumbling-window fetch metrics over event time.
+
+    Append-mode-safe: with the watermark, a window's row is emitted
+    exactly once, after the watermark passes window.end — late rows
+    within the watermark still count, later ones are dropped by Spark's
+    state eviction (bounded state: #hosts x #open-windows, the property
+    that keeps this runnable forever on a 1000-executor cluster).
+    """
+    return (
+        obs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetches"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.sum((F.col("status") >= 400).cast("int"))
+            .cast("long")
+            .alias("n_errors"),
+            F.max("transport_ms").cast("long").alias("max_ms"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_fetches",
+            "total_bytes",
+            "n_errors",
+            "max_ms",
+        )
+    )
+
+
+def _ema_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's observations (in ts order — deterministic) into
+    the managed per-host state."""
+    if state.exists:
+        ema, n = state.get
+    else:
+        ema, n = 0, 0
+    last = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "transport_ms"], kind="mergesort")
+        for x in pdf["transport_ms"]:
+            x = int(x)
+            ema = (EMA_NUM * x + (EMA_DEN - EMA_NUM) * ema) // EMA_DEN
+            n += 1
+            last = x
+    state.update((ema, n))
+    if last is None:  # timeout tick or empty group: emit nothing
+        return
+    yield pd.DataFrame(
+        [
+            {
+                "host": key[0],
+                "n_obs": n,
+                "ema_ms": ema,
+                "last_ms": last,
+            }
+        ]
+    )
+
+
+def host_ema_state(obs: DataFrame) -> DataFrame:
+    """Per-host response-time EMA as a custom stateful streaming
+    operator (applyInPandasWithState): one output row per host per
+    micro-batch carrying the cumulative integer EMA. State is tiny (two
+    int64 per host), partitioned by host — the same shuffle key every
+    other per-host operator uses, so a crawl topology co-locates them.
+    """
+    return obs.groupBy("host").applyInPandasWithState(
+        _ema_fn,
+        outputStructType=_EMA_OUT,
+        stateStructType=_EMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
