@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords_topk": ta.keywords_topk,
         "text_quality_classifier": ta.quality_classifier,
         "text_cms_heavyhitters": ta.cms_heavyhitters,
+        "text_corpus_prep_v2": ta.corpus_prep_v2,
         "text_split_assign": ta.split_assign,
         "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "text_keywords_topk": ta.keywords_topk_sql(),
         "text_quality_classifier": ta.quality_classifier_sql(),
         "text_cms_heavyhitters": ta.cms_heavyhitters_sql(),
+        "text_corpus_prep_v2": ta.corpus_prep_v2_sql(),
         "text_split_assign": ta.split_assign_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),

@@ -1531,3 +1531,118 @@ SELECT lang, split, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS total_tokens
 FROM a GROUP BY 1, 2
 """
+
+
+# -------------------------------- corpus-prep v2: every gate in one plan
+# The round-4 end-to-end curation chain, with ALL the quality machinery
+# composed into one declarative DAG:
+#
+#   exact-dup keepers ∩ near-dup-cluster keepers ∩ soft quality bar
+#   (corpus_keepers_neardup)  ∩  Gopher hard gates (gopher_rules.keep)
+#   ∩  model score (quality_classifier.keep)
+#   →  source-mix downsample (same integer thresholds as source_mix)
+#   →  deterministic train/val/test assignment (same hash as
+#      split_assign)
+#   →  per-(lang, split) packed-stream totals.
+#
+# This is the table a training launch reads: how many docs/tokens/
+# sequences each (language, split) contributes after every filter. Each
+# gate is its own operator with its own oracle above; the composition
+# re-uses them unchanged, and the oracle SQL composes the SAME
+# subqueries — so a mismatch pinpoints the stage that diverged.
+#
+# Scale: the gates are doc_id-keyed semi-joins (AQE broadcasts the
+# small surviving sides as filters tighten); no stage rescans the
+# corpus beyond what the composition requires.
+def corpus_prep_v2(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 2048
+) -> DataFrame:
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir)
+    clean = corpus_keepers_neardup(spark, sf_dir).select("doc_id")
+    gop = gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
+    clf = quality_classifier(spark, sf_dir).filter("keep").select("doc_id")
+    docs = (
+        d.join(clean, "doc_id")
+        .join(gop, "doc_id")
+        .join(clf, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    rows = (
+        d.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("mass"))
+        .collect()
+    )
+    total = sum(r["mass"] for r in rows)
+    nsrc = len(rows)
+    tdf = spark.createDataFrame(
+        [
+            (r["source"], min(_MIX_MOD, (total * _MIX_MOD) // (nsrc * r["mass"])))
+            for r in rows
+        ],
+        "source string, thresh long",
+    )
+    bucket = F.pmod(
+        F.expr(_h64_spark("cast(doc_id as string)", _MIX_SEED)),
+        F.lit(_MIX_MOD),
+    )
+    pct = F.expr(_h64_spark("cast(doc_id as string)", SPLIT_SEED)) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    kept = docs.join(F.broadcast(tdf), "source").filter(bucket < F.col("thresh"))
+    return kept.withColumn("split", split).groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            f"(sum(n_tokens) + {chunk_tokens - 1}) div {chunk_tokens}"
+        ).cast("long").alias("n_chunks"),
+    )
+
+
+def corpus_prep_v2_sql(chunk_tokens: int = 2048) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=_MIX_SEED)
+    hs = h64_duckdb("cast(doc_id as varchar)", seed=SPLIT_SEED)
+    return f"""
+WITH clean AS (
+  SELECT doc_id FROM ({corpus_keepers_neardup_sql()}) ck
+), gop AS (
+  SELECT doc_id FROM ({gopher_rules_sql()}) g WHERE g.keep
+), clf AS (
+  SELECT doc_id FROM ({quality_classifier_sql()}) c WHERE c.keep
+), mix AS (
+  SELECT source,
+         least({_MIX_MOD},
+               (SUM(sum_mass) OVER () * {_MIX_MOD})
+                 // ((COUNT(*) OVER ()) * sum_mass))::BIGINT AS thresh
+  FROM (SELECT source, sum(n_chars)::BIGINT AS sum_mass
+        FROM documents GROUP BY source)
+), kept AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN {hs} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {hs} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(d.text, ' '))::BIGINT AS n_tokens
+  FROM documents d
+  JOIN clean USING (doc_id)
+  JOIN gop USING (doc_id)
+  JOIN clf USING (doc_id)
+  JOIN mix ON mix.source = d.source
+  WHERE {h} % {_MIX_MOD} < mix.thresh
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       ((sum(n_tokens) + {chunk_tokens - 1}) // {chunk_tokens})::BIGINT
+           AS n_chunks
+FROM kept GROUP BY 1, 2
+"""

@@ -269,3 +269,24 @@ def test_ann_int8_tracks_exact_cosine(spark):
         assert [x[0] for x in rr] == list(range(1, ts.TOP_K + 1))
         qc = [x[1] for x in rr]
         assert qc == sorted(qc, reverse=True)
+
+
+def test_corpus_prep_v2_tightens_v1(spark):
+    """v2 = v1 ∩ Gopher ∩ classifier (then split): its per-lang totals
+    must be <= corpus_prep's, non-empty, and reassemble across splits."""
+    import spider_core_spark.textops.dedup as td
+
+    v1 = {r["lang"]: r for r in ta.corpus_prep(spark, SF_DIR).collect()}
+    rows = ta.corpus_prep_v2(spark, SF_DIR).collect()
+    td.release_staged_caches()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        a = by_lang.setdefault(r["lang"], [0, 0])
+        a[0] += r["n_docs"]
+        a[1] += r["total_tokens"]
+        assert r["n_chunks"] == (r["total_tokens"] + 2047) // 2048
+    for lang, (nd, nt) in by_lang.items():
+        assert nd <= v1[lang]["n_docs"]
+        assert nt <= v1[lang]["total_tokens"]
+    assert sum(a[0] for a in by_lang.values()) > 0
