@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": ta.normalize_text,
         "text_source_mix": ta.source_mix,
         "text_unigram_logprob": ta.unigram_logprob,
+        "text_bigram_logprob": ta.bigram_logprob,
         "text_corpus_prep": ta.corpus_prep,
         "text_pack_sequences": tp.pack_sequences,
         "text_gopher_rules": ta.gopher_rules,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": ta.normalize_text_sql(),
         "text_source_mix": ta.source_mix_sql(),
         "text_unigram_logprob": ta.unigram_logprob_sql(),
+        "text_bigram_logprob": ta.bigram_logprob_sql(),
         "text_corpus_prep": ta.corpus_prep_sql(),
         "text_pack_sequences": tp.pack_sequences_sql(),
         "text_gopher_rules": ta.gopher_rules_sql(),

