@@ -26,6 +26,7 @@ from spider_core_spark.textops import analysis as ta
 from spider_core_spark.textops import dedup as td
 from spider_core_spark.textops import multimodal as tm
 from spider_core_spark.textops import packing as tp
+from spider_core_spark.textops import semantic as sm
 from spider_core_spark.textops import similarity as ts
 
 
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_byte_format": dq.s5_byte_format,
         "s7_robots_parse": dq.s7_robots_parse,
         "s8_url_canonicalize": dq.s8_url_canonicalize,
+        "p7_blocklist_filter": dq.p7_blocklist_filter,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
@@ -99,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dedup_neardup_clusters": td.neardup_clusters,
         "dedup_minhash_incremental": td.minhash_incremental,
+        # embedding-space curation: integer-Lloyd k-means (bit-stable
+        # across engines — exact int64 arithmetic end-to-end) and the
+        # SemDeDup within-cluster pruning pass on the learned cells
+        "emb_kmeans": sm.kmeans_assign,
+        "dedup_semantic": sm.semantic_neardup,
         # similarity search
         "ann_bruteforce_topk": ts.ann_bruteforce_topk,
         "ann_lsh_topk": ts.ann_lsh_topk,
@@ -127,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": tp.pack_sequences,
         "text_gopher_rules": ta.gopher_rules,
         "text_dup_spans": ta.dup_spans,
+        "text_dupspan_scrub": ta.dupspan_scrub,
         "text_keywords_topk": ta.keywords_topk,
         "text_quality_classifier": ta.quality_classifier,
         "text_cms_heavyhitters": ta.cms_heavyhitters,
@@ -167,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_byte_format": dq.S5_SQL,
         "s7_robots_parse": dq.S7_SQL,
         "s8_url_canonicalize": dq.S8_SQL,
+        "p7_blocklist_filter": dq.P7_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
@@ -190,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_neardup_clusters": td.neardup_clusters_sql(),
         "dedup_minhash_incremental": td.minhash_incremental_sql(),
+        "emb_kmeans": sm.kmeans_sql(),
+        "dedup_semantic": sm.semantic_neardup_sql(),
         "ann_bruteforce_topk": ts.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": ts.ann_lsh_sql(),
         "ann_ivf_topk": ts.ann_ivf_sql(k=None),
@@ -214,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pack_sequences": tp.pack_sequences_sql(),
         "text_gopher_rules": ta.gopher_rules_sql(),
         "text_dup_spans": ta.dup_spans_sql(),
+        "text_dupspan_scrub": ta.dupspan_scrub_sql(),
         "text_keywords_topk": ta.keywords_topk_sql(),
         "text_quality_classifier": ta.quality_classifier_sql(),
         "text_cms_heavyhitters": ta.cms_heavyhitters_sql(),

@@ -889,3 +889,82 @@ FROM r{PR_ITERS}
 
 
 F6_SQL = _f6_sql()
+
+
+# --- P7: URL blocklist filter (UT1-style domain-suffix blocking) ----------
+# A crawl frontier (and a CCNet-style curation pipeline) drops URLs whose
+# host matches a BLOCKLIST DOMAIN OR any of its subdomains ("s3.test"
+# blocks "h9.s3.test"). The scalable shape is NOT a per-row scan of the
+# blocklist: each host explodes into its label-boundary suffix chain
+# ("a.b.c" -> [a.b.c, b.c, c] — at most ~6 rows/URL) and one broadcast
+# equi-join against the domain table decides membership. At a UT1-sized
+# blocklist (a few M domains, tens of MB) the dim side still broadcasts;
+# past that it's an ordinary shuffle equi-join on the suffix key.
+BLOCKLIST_DOMAINS = ["s3.test", "h7.s1.test", "h21.s5.test"]
+
+
+def p7_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL blocked verdict against the domain blocklist (suffix
+    semantics). Hosts synthesized from orders: h{custkey%50}.s{okey%7}.test
+    — 350 distinct hosts; 's3.test' blocks a whole 50-host subtree, the
+    other two entries block single hosts, so both verdicts are non-vacuous
+    at sf0.01."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("h"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".s"),
+            (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(".test"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in BLOCKLIST_DOMAINS], "domain string"
+    )
+    sfx = base.select(
+        "o_orderkey", F.split("host", "[.]").alias("labels")
+    ).select(
+        "o_orderkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(labels) - 1), "
+                "i -> concat_ws('.', slice(labels, i + 1, size(labels) - i)))"
+            )
+        ).alias("sfx"),
+    )
+    hits = (
+        sfx.join(F.broadcast(bl), sfx["sfx"] == bl["domain"])
+        .select("o_orderkey")
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return base.join(hits, "o_orderkey", "left").select(
+        "o_orderkey",
+        "host",
+        F.coalesce("blocked", F.lit(False)).alias("blocked"),
+    )
+
+
+_BL_VALUES = ", ".join(f"('{d}')" for d in BLOCKLIST_DOMAINS)
+P7_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         'h' || (o_custkey % 50) || '.s' || (o_orderkey % 7) || '.test'
+           AS host
+  FROM orders
+), bl(domain) AS (VALUES {_BL_VALUES}),
+lab AS (SELECT o_orderkey, string_split(host, '.') AS labels FROM base),
+sfx AS (
+  SELECT o_orderkey,
+         unnest([array_to_string(labels[i:], '.')
+                 for i in range(1, len(labels) + 1)]) AS s
+  FROM lab
+), hits AS (
+  SELECT DISTINCT o_orderkey FROM sfx JOIN bl ON sfx.s = bl.domain
+)
+SELECT base.o_orderkey, base.host,
+       (hits.o_orderkey IS NOT NULL) AS blocked
+FROM base LEFT JOIN hits USING (o_orderkey)
+"""

@@ -1187,6 +1187,143 @@ FROM runs GROUP BY 1
 """
 
 
+# --------------------------------------------- duplicated-span SCRUB
+# The removal half of Lee et al. 2022: dup_spans above only REPORTS the
+# duplicated runs; this operator actually rewrites the corpus. Contract:
+# a shingle occurrence is removable iff its 3-gram hash occurs >= 2
+# times corpus-wide (within- OR cross-doc) AND the occurrence is not the
+# globally FIRST one (first = min (doc_id, pos) — the kept original, so
+# exactly one copy of every duplicated substring survives, like the
+# suffix-array pass keeps one occurrence). A token is dropped iff any
+# removable shingle covers its position; the cleaned text is the kept
+# tokens re-joined in order. All logic is integer/string — bit-stable.
+DUPSCRUB_MIN_OCCS = 2
+
+
+def dupspan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite removing non-first duplicated spans.
+
+    Plan shape (100 TB): the shingle explode is hashed to 60-bit ints
+    pre-shuffle and STAGED once (dedup cache registry); the first-vs-rest
+    split is one window over shash (high-cardinality key — skew tracks
+    true duplicate mass, same argument as the banded ngram join); cover
+    positions explode at most SHINGLE rows per removable occurrence; the
+    rewrite is an anti-join on (doc_id, tpos) plus one per-doc groupBy
+    whose collect_list is doc-sized (the same bound every per-doc
+    operator here lives with). No driver-side loops, no UDFs."""
+    from pyspark.sql import Window
+
+    from spider_core_spark.textops.dedup import (
+        SHINGLE,
+        _docs_tokens,
+        _h64_spark,
+        _shingles_spark,
+        _stage,
+    )
+
+    d = _stage(
+        _docs_tokens(spark, sf_dir).withColumn("n_tokens", F.size("_toks"))
+    )
+    occ = d.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(F.expr(_shingles_spark("_toks"))).alias("pos", "sh"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.expr(_h64_spark("sh", DUPSPAN_SEED)).alias("shash"),
+    )
+    wrank = Window.partitionBy("shash").orderBy("doc_id", "pos")
+    removable = (
+        occ.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("tot", F.count("*").over(Window.partitionBy("shash")))
+        .filter((F.col("tot") >= DUPSCRUB_MIN_OCCS) & (F.col("rn") > 1))
+    )
+    removed = removable.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + (SHINGLE - 1), F.col("n_tokens") - 1),
+            )
+        ).alias("tpos"),
+    ).distinct()
+    toks = d.select(
+        "doc_id", "n_tokens", F.posexplode("_toks").alias("tpos", "tok")
+    )
+    kept = (
+        toks.join(removed, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        d.select("doc_id", "n_tokens")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def dupspan_scrub_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+    from spider_core_spark.textops.dedup import SHINGLE, TOKENS_DUCK, _shingles_duck
+
+    h = h64_duckdb("sh", seed=DUPSPAN_SEED)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {TOKENS_DUCK} AS toks, len({TOKENS_DUCK}) AS n_tokens,
+         {_shingles_duck()} AS shs
+  FROM documents
+), occ AS MATERIALIZED (
+  SELECT doc_id, n_tokens, pos, {h} AS shash
+  FROM (SELECT doc_id, n_tokens,
+               generate_subscripts(shs, 1) - 1 AS pos, unnest(shs) AS sh
+        FROM d)
+), removable AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           row_number() OVER (PARTITION BY shash ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY shash) AS tot
+    FROM occ
+  ) WHERE tot >= {DUPSCRUB_MIN_OCCS} AND rn > 1
+), removed AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(pos, least(pos + {SHINGLE - 1},
+                                           n_tokens - 1) + 1)) AS tpos
+    FROM removable)
+), toks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos, unnest(toks) AS tok
+  FROM d
+), kept AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         count(*) AS n_kept
+  FROM toks ANTI JOIN removed USING (doc_id, tpos)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(kept.clean_text, '') AS clean_text,
+       d.n_tokens::BIGINT AS n_tokens,
+       (d.n_tokens - coalesce(kept.n_kept, 0))::BIGINT AS n_removed
+FROM d LEFT JOIN kept USING (doc_id)
+"""
+
+
 # ------------------------------------------------- per-doc top keywords
 # tf-idf-family keyword extraction with the idf log DROPPED: lift =
 # tf-rate / corpus-df-rate = c*N / (n_tok*df). Log-free on purpose —

@@ -1,0 +1,268 @@
+"""Semantic (embedding-space) corpus curation: distributed integer-Lloyd
+k-means and SemDeDup-style within-cluster near-dup pruning.
+
+Why k-means here: the IVF operators (textops/dedup.py, textops/
+similarity.py) seed centroids as "the first K vectors" — the honest
+deterministic stand-in for a trained codebook. This module supplies the
+actual training step as a first-class distributed operator, and then the
+SemDeDup curation pass (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication": cluster the
+embedding space, prune items whose within-cluster cosine similarity
+exceeds a threshold) on top of the learned cells.
+
+Cross-engine bit-stability (the driver value-hashes Spark vs DuckDB):
+Lloyd iterations run in EXACT INT64 arithmetic — embeddings are
+quantized once to ``round(x * 10^6)`` (same double product, same
+half-away-from-zero rounding in both engines), distances are integer
+squared-L2 sums (max |q| ≈ 5.3e5 on unit-ish embeddings ⇒ per-pair sum
+≤ 64·(1.1e6)² ≈ 7.7e13 ≪ 2^63), and centroid updates are exact integer
+floor-means ``(s - pmod(s, c)) div c``. Ties in the argmin break by
+centroid id. No float accumulates across rows anywhere in the loop, so
+partition order cannot perturb a single bit. Only the final SemDeDup
+cosine touches doubles, with the same round-to-3dp contract the other
+embedding operators use.
+
+Scale design (10^10 vectors, 1000 executors):
+- each Lloyd ASSIGN pass is a pure narrow map: the K centroids collect
+  to the driver (K×dim int64s — 50 MB at K=10^5, dim=64) and re-enter
+  the plan as a broadcast literal, so assignment needs ZERO shuffle;
+- each UPDATE pass is one map-side-combinable groupBy(cid, idx) — the
+  shuffle carries at most K·dim rows regardless of N;
+- driver state is O(K·dim) per iteration, independent of N;
+- the SemDeDup pair pass is the IVF shape: all-pairs only INSIDE a
+  cell (~N²/K dots total, one shuffle task per cell), with the cells
+  reused from the final assignment. Pairs straddling two cells
+  are out of contract by design — that is SemDeDup's own approximation
+  (its published recipe also only compares within a cluster).
+
+Reference parity note: the reference crawler (spider-lib/spider-core)
+has no embedding ops — this module belongs to the training-data-pipeline
+extension surface, same as textops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KM_SCALE = 1_000_000  # quantization: q = round(x * KM_SCALE) as int64
+KM_K = 8              # default centroid count (sf0.01 oracle size)
+KM_ITERS = 2          # Lloyd update rounds (oracle unrolls the same number)
+
+_QV_SPARK = f"transform(v, x -> cast(round(x * {KM_SCALE}.0) as long))"
+_QV_DUCK = (
+    f"list_transform(embedding::DOUBLE[], "
+    f"x -> CAST(round(x * {KM_SCALE}.0) AS BIGINT))"
+)
+
+
+def _qemb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("qv", F.expr(_QV_SPARK))
+    )
+
+
+def _best_centroid(cents: list[tuple[int, list[int]]]) -> F.Column:
+    """Argmin-over-broadcast-literal assignment column.
+
+    ``cents`` is the driver-side centroid table (tiny: K×dim int64s).
+    Returns struct<qdist:long, cid:long> = the nearest centroid by exact
+    integer squared-L2, ties broken by centroid id — array_min over
+    struct<qdist,cid> is exactly that lexicographic order. Pure narrow
+    expression: no join, no shuffle."""
+    centarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(int(q)) for q in qc])
+                .cast("array<bigint>")
+                .alias("qc"),
+            )
+            for cid, qc in cents
+        ]
+    )
+    scored = F.transform(
+        centarr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), c["qc"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """One Lloyd update: exact integer floor-mean per (cid, idx).
+
+    groupBy(cid, idx) is map-side combinable and its key space is K·dim —
+    the shuffle after the combine is O(K·dim) rows no matter how many
+    vectors went in. The K result rows collect to the driver to become
+    the next assign pass's broadcast literal (driver state O(K·dim))."""
+    sums = (
+        assigned.select("cid", F.posexplode("qv").alias("idx", "q"))
+        .groupBy("cid", "idx")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
+        .withColumn("m", F.expr("(s - pmod(s, c)) div c"))
+    )
+    rows = (
+        sums.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                lambda st: st["m"],
+            ).alias("qc")
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    return [(int(r["cid"]), [int(x) for x in r["qc"]]) for r in rows]
+
+
+def kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Distributed integer-Lloyd k-means over the embeddings table.
+
+    Seeds = the quantized first ``k`` vectors (vec_id < k — deterministic,
+    mirrors the IVF operators' seeding); ``iters`` exact-integer Lloyd
+    updates; output = the final assignment (vec_id, cid, qdist) under the
+    post-update centroids. Every arithmetic step is int64 (module
+    docstring), so the DuckDB oracle (kmeans_sql — the same iterations
+    unrolled as CTEs) matches bit-for-bit."""
+    e = _qemb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in e.filter(F.col("vec_id") < k)
+        .select("vec_id", "qv")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(iters):
+        best = _best_centroid(cents)
+        assigned = e.withColumn("cid", best["cid"]).select("vec_id", "qv", "cid")
+        cents = _update_centroids(assigned)
+    best = _best_centroid(cents)
+    return e.select(
+        "vec_id",
+        best["cid"].alias("cid"),
+        best["qdist"].alias("qdist"),
+    )
+
+
+def _km_cte(k: int, iters: int) -> str:
+    """Shared oracle CTE chain: q, c0, a0, c1, a1, ... a{iters} (final
+    assignment carries vec_id, qv, cid, qd)."""
+    qd = (
+        "CAST(list_sum([(q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]) "
+        "for i in range(1, len(q.qv) + 1)]) AS BIGINT)"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS qc FROM q WHERE vec_id < {k})",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, qv, cid, qd FROM (
+    SELECT vec_id, qv, cid, qd,
+           row_number() OVER (PARTITION BY vec_id ORDER BY qd, cid) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.cid, {qd} AS qd
+          FROM q CROSS JOIN c{i} c)
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""c{i + 1} AS (
+  SELECT cid, list(m ORDER BY idx) AS qc FROM (
+    SELECT cid, idx, (s - ((s % c + c) % c)) // c AS m
+    FROM (SELECT cid, idx, CAST(sum(qe) AS BIGINT) AS s, count(*) AS c
+          FROM (SELECT cid, generate_subscripts(qv, 1) AS idx, unnest(qv) AS qe
+                FROM a{i})
+          GROUP BY 1, 2)
+  ) GROUP BY cid
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def kmeans_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    return f"""
+WITH {_km_cte(k, iters)}
+SELECT vec_id, cid, qd AS qdist FROM a{iters}
+"""
+
+
+# --------------------------------------------------------------- SemDeDup
+SEM_THRESHOLD = 0.35  # registered threshold (non-vacuous at sf0.01)
+
+
+def semantic_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup pruning decisions: for every vector that has a
+    same-cluster neighbor with smaller id and cosine ≥ threshold, emit
+    (vec_id, kept_by = min such neighbor, max_cos). Downstream keeps the
+    complement — one representative chain per semantic near-dup group.
+
+    The pair pass is all-pairs INSIDE a learned k-means cell (IVF shape:
+    one shuffle task per cell, ~N²/K dots total); cross-cell pairs are
+    out of contract, which is SemDeDup's own published approximation.
+    Cosine uses the proven cross-engine recipe from embedding_neardup
+    (double dot summed left-to-right, round to 3 dp)."""
+    cells = kmeans_assign(spark, sf_dir, k=k, iters=iters).select("vec_id", "cid")
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .join(cells, "vec_id")
+    )
+    l = e.select(F.col("vec_id").alias("a"), "cid", F.col("v").alias("va"))
+    r = e.select(F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = F.round(dot / (na * nb), 3)
+    return (
+        l.join(r, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("b").alias("vec_id"))
+        .agg(F.min("a").alias("kept_by"), F.max("cos").alias("max_cos"))
+    )
+
+
+def semantic_neardup_sql(
+    k: int = KM_K, iters: int = KM_ITERS, threshold: float = SEM_THRESHOLD
+) -> str:
+    cos = (
+        "round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) / "
+        "(sqrt(list_sum([x * x for x in l.v])) * "
+        "sqrt(list_sum([x * x for x in r.v]))), 3)"
+    )
+    return f"""
+WITH {_km_cte(k, iters)},
+cells AS (SELECT vec_id, cid FROM a{iters}),
+e AS (SELECT e0.vec_id, e0.embedding::DOUBLE[] AS v, cells.cid
+      FROM embeddings e0 JOIN cells USING (vec_id))
+SELECT b AS vec_id, min(a) AS kept_by, max(cos) AS max_cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b, {cos} AS cos
+  FROM e l JOIN e r ON l.cid = r.cid AND l.vec_id < r.vec_id
+) WHERE cos >= {threshold}
+GROUP BY b
+"""
