@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_robots_parse": dq.s7_robots_parse,
         "s8_url_canonicalize": dq.s8_url_canonicalize,
         "p7_blocklist_filter": dq.p7_blocklist_filter,
+        "u3_hll_registers": dq.u3_hll_registers,
+        "f7_quality_priority": dq.f7_quality_priority,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
@@ -140,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_heavyhitters": ta.cms_heavyhitters,
         "text_corpus_prep_v2": ta.corpus_prep_v2,
         "text_split_assign": ta.split_assign,
+        "text_dsir_sample": ta.dsir_sample,
         "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
@@ -176,6 +179,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_robots_parse": dq.S7_SQL,
         "s8_url_canonicalize": dq.S8_SQL,
         "p7_blocklist_filter": dq.P7_SQL,
+        "u3_hll_registers": dq.U3_SQL,
+        "f7_quality_priority": dq.F7_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
@@ -231,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "text_cms_heavyhitters": ta.cms_heavyhitters_sql(),
         "text_corpus_prep_v2": ta.corpus_prep_v2_sql(),
         "text_split_assign": ta.split_assign_sql(),
+        "text_dsir_sample": ta.dsir_sample_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),

@@ -968,3 +968,206 @@ SELECT base.o_orderkey, base.host,
        (hits.o_orderkey IS NOT NULL) AS blocked
 FROM base LEFT JOIN hits USING (o_orderkey)
 """
+
+
+# --- U3: HyperLogLog URL-cardinality sketch -----------------------------------
+# The reference keeps an exact in-memory seen-set and counts urls_seen as
+# a plain counter (src/scheduler.rs seen-set + src/stats.rs counters). At
+# a 10^10-URL frontier a DISTINCT count is a full shuffle of every URL;
+# the scalable analog is a HyperLogLog sketch (Flajolet et al. 2007,
+# public): one combinable groupBy producing m=256 integer registers that
+# merge across shards/epochs with max() — the same merge the Bloom
+# seen-set shards use. The registered query returns the REGISTERS (exact
+# int64s, oracle-checkable bit-for-bit); the float estimate is derived
+# from them by ``hll_estimate`` (driver-side, 256 rows) and
+# accuracy-tested in pytest against the true distinct count.
+#
+# Hash layout (all integers, engine-portable): h = h64(url) is 60 bits;
+# bucket = h % 256; w = h div 256 (52 bits); rho = 53 - bitlength(w)
+# (position of the leftmost 1-bit from the top, standard HLL rank), with
+# rho = 53 when w = 0. bitlength is computed as
+# length(ltrim('0', bin(w))) — `bin` is minimal-width in both engines.
+HLL_M = 256  # registers (p = 8); relative error ~ 1.04/sqrt(m) = 6.5%
+_HLL_WBITS = 60 - 8  # bits left in h64 after the bucket index
+
+
+def u3_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL registers over the synthetic URL stream
+    'http://h{l_suppkey%100}.test/o{l_orderkey}' (duplicates by
+    construction: one URL per lineitem, repeated across line numbers).
+    Plan at 100 TB: ONE pruned scan + ONE map-side-combinable
+    groupBy(bucket).max(rho) with 256 output rows — no distinct shuffle,
+    no driver state; shard sketches union by max like Bloom shards."""
+    from spider_core_spark.functions.hashing import h64_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("l_suppkey") % 100).cast("string"),
+        F.lit(".test/o"),
+        F.col("l_orderkey").cast("string"),
+    )
+    rho_max = _HLL_WBITS + 1
+    hashed = (
+        li.select(h64_col(url).alias("_h"))  # stage: hash computed once
+        .select(
+            (F.col("_h") % HLL_M).cast("long").alias("bucket"),
+            F.expr(f"_h div {HLL_M}").alias("_w"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CASE WHEN _w = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(ltrim('0', bin(_w))) END"
+            ).alias("rho"),
+        )
+    )
+    regs = hashed.groupBy("bucket").agg(F.max("rho").cast("long").alias("register"))
+    buckets = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    return (
+        buckets.join(regs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("long").alias("register"),
+        )
+    )
+
+
+def _u3_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb(
+        "'http://h' || (l_suppkey % 100) || '.test/o' || l_orderkey"
+    )
+    rho_max = _HLL_WBITS + 1
+    return f"""
+WITH h AS (
+  SELECT ({h}) AS _h FROM lineitem
+), hashed AS (
+  SELECT _h % {HLL_M} AS bucket, _h // {HLL_M} AS _w FROM h
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN _w = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(ltrim(bin(_w), '0')) END)
+           AS register
+  FROM hashed GROUP BY 1
+)
+SELECT b.bucket::BIGINT AS bucket,
+       coalesce(r.register, 0)::BIGINT AS register
+FROM (SELECT unnest(generate_series(0, {HLL_M - 1}))::BIGINT AS bucket) b
+LEFT JOIN regs r USING (bucket)
+"""
+
+
+U3_SQL = _u3_sql()
+
+
+def hll_estimate(registers: list[int]) -> float:
+    """Standard HLL estimator with small-range correction (Flajolet et
+    al. 2007 §4): driver-side over the m=256 collected registers."""
+    import math
+
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in registers)
+    zeros = registers.count(0)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)  # linear counting
+    return raw
+
+
+# --- F7: quality-feedback frontier priority -----------------------------------
+# Focused crawling (Chakrabarti, van den Berg & Dom 1999, public): boost
+# the frontier priority of hosts whose ALREADY-FETCHED pages scored high
+# on the content-quality gate, so the next wave spends its politeness
+# budget where the corpus is proving valuable. The reference's frontier
+# orders by a static per-request priority (src/scheduler.rs BinaryHeap);
+# this is the feedback loop a corpus-building crawl runs on top: fetched
+# docs -> per-host quality -> next-wave priority.
+#
+# ALL-INTEGER (f6 pattern, zero FP hazards): per-doc quality =
+# (1000 * en-stopword hits) div n_tokens; per-host quality = integer mean
+# (sum div count); effective priority = (6 - order_priority) * 10^6 +
+# host_quality_milli, ranked descending with o_orderkey tiebreak.
+#
+# Fixture mapping: fetched docs = documents with host 'h{doc_id%50}.test';
+# frontier = orders with host 'h{o_custkey%50}.test' (the p7 host space)
+# and base priority = the leading digit of o_orderpriority (1=URGENT).
+#
+# Scale (10^10-row frontier): host-quality agg is ONE map-side-combinable
+# groupBy over the fetched-docs table (narrow: two int columns); the host
+# dimension (|hosts| << |urls|) broadcasts into the frontier join; the
+# top-K wave is a TakeOrdered (no single-partition window). Priority is
+# recomputed per epoch from the growing docs table — the same shape at
+# every epoch.
+F7_TOPK = 200
+
+
+def f7_quality_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spider_core_spark.textops.analysis import _stop_hits_spark
+
+    host_q = (
+        docs.select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 50).cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.expr(
+                f"(1000 * ({_stop_hits_spark('en')})) "
+                "div size(split(lower(text), ' '))"
+            ).alias("q_milli"),
+        )
+        .groupBy("host")
+        .agg(F.expr("sum(q_milli) div count(*)").cast("long").alias("host_q_milli"))
+    )
+    frontier = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 50).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("base_pri"),
+    )
+    return (
+        frontier.join(F.broadcast(host_q), "host", "left")
+        .select(
+            "o_orderkey",
+            "host",
+            "base_pri",
+            F.coalesce("host_q_milli", F.lit(0)).cast("long").alias("host_q_milli"),
+            (
+                (F.lit(6) - F.col("base_pri")) * 1_000_000
+                + F.coalesce("host_q_milli", F.lit(0))
+            ).cast("long").alias("eff_pri"),
+        )
+        .orderBy(F.desc("eff_pri"), F.asc("o_orderkey"))
+        .limit(F7_TOPK)
+    )
+
+
+def _f7_sql() -> str:
+    from spider_core_spark.textops.analysis import _stop_hits_duck
+
+    return f"""
+WITH hq AS (
+  SELECT 'h' || (doc_id % 50) || '.test' AS host,
+         sum((1000 * ({_stop_hits_duck('en')}))
+             // len(string_split(lower(text), ' ')))
+           // count(*) AS host_q_milli
+  FROM documents GROUP BY 1
+), frontier AS (
+  SELECT o_orderkey,
+         'h' || (o_custkey % 50) || '.test' AS host,
+         substring(o_orderpriority, 1, 1)::BIGINT AS base_pri
+  FROM orders
+)
+SELECT o_orderkey, f.host, base_pri,
+       coalesce(host_q_milli, 0)::BIGINT AS host_q_milli,
+       ((6 - base_pri) * 1000000 + coalesce(host_q_milli, 0))::BIGINT
+         AS eff_pri
+FROM frontier f LEFT JOIN hq USING (host)
+ORDER BY eff_pri DESC, o_orderkey ASC
+LIMIT {F7_TOPK}
+"""
+
+
+F7_SQL = _f7_sql()

@@ -1903,3 +1903,137 @@ JOIN ccounts cc ON cc.lang = b.lang AND cc.prev = b.prev
 JOIN vsize vs ON vs.lang = b.lang
 GROUP BY b.doc_id, b.lang
 """
+
+
+# ------------------------------------------- DSIR importance resampling
+# Data Selection with Importance Resampling (Xie et al. 2023, public):
+# select pretraining docs whose hashed-n-gram feature distribution looks
+# like a TARGET domain, by Gumbel-top-k sampling with importance weights
+# w(x) = p_target(x)/p_raw(x) under a bag-of-hashed-features model. Here
+# the target distribution is estimated from the corpus's own 'en' slice
+# (a deterministic stand-in for an external target corpus — a real run
+# would point the target CTE at its own table).
+#
+# Determinism contract (the corpus_sample_stratified property — a rerun
+# of a failed 100 TB stage must select the SAME docs):
+# - feature = h64(token, seed 131) % 512; counts are exact integers;
+# - per-feature log-ratio score is ONE float op on integer-derived
+#   doubles, rounded to integer millinats (score table: 512 rows);
+# - per-doc log-weight = integer SUM of token scores (no FP summation-
+#   order hazard — the f6 all-integer pattern);
+# - Gumbel noise is hash-derived, not RNG: u = (h64(doc_id, 97) % 1e6
+#   + 0.5)/1e6, g = -ln(-ln(u)), rounded to millinats;
+# - selection = top-K by (logw + gumbel) with doc_id tiebreak.
+#
+# Scale (100 TB): token explode + groupBy(feature) are map-side-
+# combinable with only 512 distinct keys on the wire after partial agg;
+# the score table broadcasts into the per-token join; per-doc sum keys on
+# doc_id (no skew); top-K is a TakeOrdered, never a single-partition
+# window. Raw/target totals ride along as 1-row broadcast cross joins —
+# fully declarative, no driver collect.
+DSIR_FEATS = 512
+DSIR_FEAT_SEED = 131
+DSIR_GUMBEL_SEED = 97
+DSIR_K = 200
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str, k: int = DSIR_K) -> DataFrame:
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr(_h64_spark("tok", DSIR_FEAT_SEED)) % DSIR_FEATS
+        ).cast("long").alias("f"),
+    )
+    raw = feats.groupBy("f").agg(F.count("*").cast("long").alias("c_raw"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("f")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    tot = (
+        raw.agg(F.sum("c_raw").cast("long").alias("r_tot"))
+        .crossJoin(tgt.agg(F.sum("c_tgt").cast("long").alias("t_tot")))
+    )
+    score = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.round(
+                F.lit(1000.0)
+                * F.log(
+                    (
+                        (F.coalesce("c_tgt", F.lit(0)) + 1)
+                        / (F.col("t_tot") + DSIR_FEATS)
+                    )
+                    / ((F.col("c_raw") + 1) / (F.col("r_tot") + DSIR_FEATS))
+                ),
+                0,
+            ).cast("long").alias("s_milli"),
+        )
+    )
+    logw = (
+        feats.join(F.broadcast(score), "f")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("s_milli").cast("long").alias("logw_milli"))
+    )
+    u = (
+        F.expr(_h64_spark("cast(doc_id as string)", DSIR_GUMBEL_SEED))
+        % 1_000_000
+    ).cast("double")
+    gumbel = F.round(
+        F.lit(-1000.0) * F.log(-F.log((u + 0.5) / 1_000_000.0)), 0
+    ).cast("long")
+    return (
+        logw.withColumn(
+            "key_milli", (F.col("logw_milli") + gumbel).cast("long")
+        )
+        .orderBy(F.desc("key_milli"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "lang", "logw_milli", "key_milli")
+    )
+
+
+def dsir_sample_sql(k: int = DSIR_K) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    hf = h64_duckdb("tok", seed=DSIR_FEAT_SEED)
+    hg = h64_duckdb("cast(doc_id as varchar)", seed=DSIR_GUMBEL_SEED)
+    return f"""
+WITH feats AS (
+  SELECT doc_id, lang, ({hf}) % {DSIR_FEATS} AS f
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+), raw AS (
+  SELECT f, count(*)::BIGINT AS c_raw FROM feats GROUP BY 1
+), tgt AS (
+  SELECT f, count(*)::BIGINT AS c_tgt FROM feats WHERE lang = 'en' GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(c_raw) FROM raw)::BIGINT AS r_tot,
+         (SELECT sum(c_tgt) FROM tgt)::BIGINT AS t_tot
+), score AS (
+  SELECT r.f,
+         round(1000.0 * ln(
+           ((coalesce(t.c_tgt, 0) + 1) / (tot.t_tot + {DSIR_FEATS}))
+           / ((r.c_raw + 1) / (tot.r_tot + {DSIR_FEATS}))
+         ), 0)::BIGINT AS s_milli
+  FROM raw r LEFT JOIN tgt t USING (f), tot
+), logw AS (
+  SELECT doc_id, lang, sum(s_milli)::BIGINT AS logw_milli
+  FROM feats JOIN score USING (f)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, logw_milli,
+       (logw_milli + round(-1000.0 * ln(-ln(
+          ((({hg}) % 1000000) + 0.5) / 1000000.0)), 0)::BIGINT)::BIGINT
+         AS key_milli
+FROM logw
+ORDER BY key_milli DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1,0 +1,120 @@
+"""Invariant tests for the round-4 sketch/selection operators:
+
+- U3 HyperLogLog: register layout (pure-Python twin), shard-merge
+  property (max-merge of split sketches == whole-corpus sketch — the
+  property that lets 10^10-URL shards union without a distinct shuffle),
+  and estimator accuracy vs the true distinct count.
+- DSIR sample: determinism across runs, K respected, and the selection
+  actually tilts toward the target distribution (selected docs' mean
+  importance weight above the corpus mean).
+- F7 quality priority: the all-integer priority formula holds row-by-row
+  and the returned wave is the global descending-priority prefix.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from spider_core_spark.functions.hashing import h64_py
+from spider_core_spark.plans.demo_queries import (
+    F7_TOPK,
+    HLL_M,
+    _HLL_WBITS,
+    f7_quality_priority,
+    hll_estimate,
+    u3_hll_registers,
+)
+from spider_core_spark.textops.analysis import DSIR_K, dsir_sample
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_registers(urls):
+    regs = [0] * HLL_M
+    for u in urls:
+        h = h64_py(u)
+        bucket = h % HLL_M
+        w = h // HLL_M
+        rho = (_HLL_WBITS + 1) if w == 0 else (_HLL_WBITS + 1) - w.bit_length()
+        regs[bucket] = max(regs[bucket], rho)
+    return regs
+
+
+def _fixture_urls():
+    rows = duckdb.sql(
+        "SELECT 'http://h' || (l_suppkey % 100) || '.test/o' || l_orderkey "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def test_hll_registers_match_python_twin(spark):
+    got = {
+        r["bucket"]: r["register"]
+        for r in u3_hll_registers(spark, SF).collect()
+    }
+    want = _py_registers(_fixture_urls())
+    assert got == {i: w for i, w in enumerate(want)}
+
+
+def test_hll_shard_merge_is_max():
+    # Sketches built per-shard then merged with element-wise max must
+    # equal the whole-corpus sketch (how 10^10-URL shard sketches union).
+    urls = _fixture_urls()
+    whole = _py_registers(urls)
+    a = _py_registers(urls[::2])
+    b = _py_registers(urls[1::2])
+    assert [max(x, y) for x, y in zip(a, b)] == whole
+
+
+def test_hll_estimate_accuracy():
+    urls = _fixture_urls()
+    est = hll_estimate(_py_registers(urls))
+    true = len(set(urls))
+    # m=256 gives ~6.5% standard error; 3 sigma bound
+    assert abs(est - true) / true < 0.2
+
+
+def test_hll_estimate_small_range_linear_counting():
+    est = hll_estimate(_py_registers([f"u{i}" for i in range(10)]))
+    assert abs(est - 10) <= 2
+
+
+def test_dsir_deterministic_and_k(spark):
+    a = [tuple(r) for r in dsir_sample(spark, SF).collect()]
+    b = [tuple(r) for r in dsir_sample(spark, SF).collect()]
+    assert a == b
+    assert len(a) == DSIR_K or len(a) == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    ks = [r[3] for r in a]
+    assert ks == sorted(ks, reverse=True) or len(set(ks)) < len(ks)
+
+
+def test_dsir_tilts_toward_target(spark):
+    rows = dsir_sample(spark, SF, k=50).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert n_docs > 50  # selection is a strict subset
+    # importance resampling must prefer high-weight (target-like) docs:
+    # every selected key = logw + gumbel; check the selected docs' mean
+    # logw clears the full-corpus mean logw.
+    full = dsir_sample(spark, SF, k=n_docs).collect()
+    mean_all = sum(r["logw_milli"] for r in full) / len(full)
+    mean_sel = sum(r["logw_milli"] for r in rows) / len(rows)
+    assert mean_sel > mean_all
+
+
+def test_f7_formula_and_ordering(spark):
+    rows = f7_quality_priority(spark, SF).collect()
+    assert len(rows) == F7_TOPK
+    for r in rows:
+        assert r["eff_pri"] == (6 - r["base_pri"]) * 1_000_000 + r["host_q_milli"]
+        assert 1 <= r["base_pri"] <= 5
+    pris = [r["eff_pri"] for r in rows]
+    assert pris == sorted(pris, reverse=True)
+    # feedback is live: at least two distinct host-quality values among
+    # selected hosts (the boost actually differentiates hosts)
+    assert len({r["host_q_milli"] for r in rows}) > 1
