@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_blocklist_filter": dq.p7_blocklist_filter,
         "u3_hll_registers": dq.u3_hll_registers,
         "f7_quality_priority": dq.f7_quality_priority,
+        "f8_trap_detect": dq.f8_trap_detect,
         "a1_counters": dq.a1_counters,
         "a2_status_histogram": dq.a2_status_histogram,
         "a3_timing_stats": dq.a3_timing_stats,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_prep_v2": ta.corpus_prep_v2,
         "text_split_assign": ta.split_assign,
         "text_dsir_sample": ta.dsir_sample,
+        "text_length_quantiles": ta.length_quantiles,
         "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
@@ -181,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "p7_blocklist_filter": dq.P7_SQL,
         "u3_hll_registers": dq.U3_SQL,
         "f7_quality_priority": dq.F7_SQL,
+        "f8_trap_detect": dq.F8_SQL,
         "a1_counters": dq.A1_SQL,
         "a2_status_histogram": dq.A2_SQL,
         "a3_timing_stats": dq.A3_SQL,
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "text_corpus_prep_v2": ta.corpus_prep_v2_sql(),
         "text_split_assign": ta.split_assign_sql(),
         "text_dsir_sample": ta.dsir_sample_sql(),
+        "text_length_quantiles": ta.length_quantiles_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),

@@ -1171,3 +1171,97 @@ LIMIT {F7_TOPK}
 
 
 F7_SQL = _f7_sql()
+
+
+# --- F8: crawler-trap detection -----------------------------------------------
+# Infinite URL spaces (calendar pages, session-id paths, self-linking
+# directory loops) are the classic crawler trap (Heydon & Najork 1999,
+# "Mercator: a scalable, extensible web crawler" — public). A frontier at
+# 10^10 URLs must demote trap hosts BEFORE fetching; the standard signals
+# are structural, computable from the URL alone: path depth and repeated
+# path segments. The reference has no trap guard (its politeness cap is
+# the only per-host brake, src/scheduler.rs) — this is the scale-path
+# operator a web-wide crawl adds on top.
+#
+# ALL-INTEGER per-host aggregates (f6/f7 pattern):
+#   depth        = number of path segments,
+#   redundancy   = depth - |distinct segments| (>= 2 -> a loop-shaped URL),
+#   loopy_milli  = 1000 * n_loopy div n_urls,
+#   depth_milli  = 1000 * sum(depth) div n_urls,
+#   is_trap      = loopy_milli >= 300 OR depth_milli >= 5000.
+#
+# Fixture mapping: host 'h{l_suppkey%24}.test' with a per-host depth cap
+# 2 + (l_suppkey%24) % 7 and cyclic segments 's{(l_orderkey+i)%4}' — deep
+# hosts (cap >= 6) emit pigeonholed repeated segments, so ~1/3 of the 24
+# hosts trip the trap verdict and the rest stay clean (non-vacuous both
+# ways).
+#
+# Scale: per-URL columns are narrow array expressions inside the scan
+# (whole-stage codegen, segment arrays never shuffled); the ONLY shuffle
+# is the map-side-combinable groupBy(host) with |hosts| output rows. Hot
+# hosts skew the key but partial aggregation collapses them map-side.
+TRAP_LOOPY_MILLI = 300
+TRAP_DEPTH_MILLI = 5000
+
+
+def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_url = li.select(
+        F.concat(
+            F.lit("h"), (F.col("l_suppkey") % 24).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.expr(
+            "transform(sequence(1, 1 + l_orderkey % (2 + (l_suppkey % 24) % 7)), "
+            "i -> concat('s', cast((l_orderkey + i) % 4 as string)))"
+        ).alias("segs"),
+    ).select(
+        "host",
+        F.size("segs").cast("long").alias("depth"),
+        (F.size("segs") - F.size(F.array_distinct("segs"))).cast("long").alias(
+            "redundancy"
+        ),
+    )
+    agg = per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("depth").cast("long").alias("_sd"),
+        F.sum((F.col("redundancy") >= 2).cast("long")).cast("long").alias(
+            "_nl"
+        ),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        F.expr("(1000 * _sd) div n_urls").cast("long").alias("depth_milli"),
+        F.expr("(1000 * _nl) div n_urls").cast("long").alias("loopy_milli"),
+        (
+            (F.expr("(1000 * _nl) div n_urls") >= TRAP_LOOPY_MILLI)
+            | (F.expr("(1000 * _sd) div n_urls") >= TRAP_DEPTH_MILLI)
+        ).alias("is_trap"),
+    )
+
+
+F8_SQL = f"""
+WITH per_url AS (
+  SELECT 'h' || (l_suppkey % 24) || '.test' AS host,
+         len(segs)::BIGINT AS depth,
+         (len(segs) - len(list_distinct(segs)))::BIGINT AS redundancy
+  FROM (
+    SELECT l_suppkey,
+           [('s' || ((l_orderkey + i) % 4))
+            for i in range(1, 2 + l_orderkey % (2 + (l_suppkey % 24) % 7))]
+             AS segs
+    FROM lineitem
+  )
+), agg AS (
+  SELECT host, count(*)::BIGINT AS n_urls,
+         sum(depth)::BIGINT AS _sd,
+         sum(CASE WHEN redundancy >= 2 THEN 1 ELSE 0 END)::BIGINT AS _nl
+  FROM per_url GROUP BY 1
+)
+SELECT host, n_urls,
+       ((1000 * _sd) // n_urls)::BIGINT AS depth_milli,
+       ((1000 * _nl) // n_urls)::BIGINT AS loopy_milli,
+       ((1000 * _nl) // n_urls >= {TRAP_LOOPY_MILLI}
+        OR (1000 * _sd) // n_urls >= {TRAP_DEPTH_MILLI}) AS is_trap
+FROM agg
+"""

@@ -2037,3 +2037,72 @@ FROM logw
 ORDER BY key_milli DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# --------------------------------------------- exact length quantiles
+# Per-language EXACT token-count quantiles (type-1 / inverse empirical
+# CDF: q_p = smallest value whose cumulative count reaches ceil(p·N/100))
+# — the distribution report a corpus pipeline runs before choosing
+# truncation/packing lengths. Completes the sketch family next to CMS
+# (heavy hitters) and HLL (cardinality), but EXACT: integer thresholds,
+# no percentile_approx (whose t-digest would never bit-match DuckDB).
+#
+# Scale shape: the only pass over the corpus is groupBy(lang, n_tokens)
+# — map-side combinable, and its output is bounded by |langs| × |distinct
+# doc lengths| (≤ a few 10^5 rows at ANY corpus size — doc lengths are
+# bounded), so the cumulative window + quantile pick run on a frame
+# ~10^5 rows regardless of input scale (the vocab_topk pattern: windows
+# only over tiny aggregates, never over the corpus).
+QUANTILE_PCTS = [25, 50, 75, 95]
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("v")
+    )
+    hist = d.groupBy("lang", "v").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("lang").orderBy("v")
+    cum = hist.select(
+        "lang",
+        "v",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("lang").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_docs"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in QUANTILE_PCTS], "pct long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n_docs"))
+        .groupBy("lang", "pct")
+        .agg(
+            F.min("v").cast("long").alias("q_tokens"),
+            F.max("n_docs").cast("long").alias("n_docs"),
+        )
+        .select("lang", "pct", "n_docs", "q_tokens")
+    )
+
+
+def length_quantiles_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in QUANTILE_PCTS)
+    return f"""
+WITH d AS (
+  SELECT lang, len(string_split(text, ' '))::BIGINT AS v FROM documents
+), hist AS (
+  SELECT lang, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY lang)::BIGINT AS n_docs
+  FROM hist
+), pcts(pct) AS (VALUES {pcts})
+SELECT lang, pct::BIGINT AS pct, max(n_docs)::BIGINT AS n_docs,
+       min(v)::BIGINT AS q_tokens
+FROM cum CROSS JOIN pcts
+WHERE cum * 100 >= pct * n_docs
+GROUP BY 1, 2
+"""

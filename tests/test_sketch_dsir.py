@@ -107,6 +107,50 @@ def test_dsir_tilts_toward_target(spark):
     assert mean_sel > mean_all
 
 
+def test_length_quantiles_match_sorted_definition(spark):
+    # type-1 quantile vs a direct python computation on sorted lengths
+    from spider_core_spark.textops.analysis import length_quantiles
+
+    got = {
+        (r["lang"], r["pct"]): (r["n_docs"], r["q_tokens"])
+        for r in length_quantiles(spark, SF).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT lang, len(string_split(text, ' ')) FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    by_lang = {}
+    for lang, n in rows:
+        by_lang.setdefault(lang, []).append(n)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (25, 50, 75, 95):
+            # smallest v with cum count >= ceil(pct*n/100)
+            idx = -(-pct * n // 100)  # ceil
+            assert got[(lang, pct)] == (n, vals[idx - 1]), (lang, pct)
+
+
+def test_trap_detect_formula(spark):
+    from spider_core_spark.plans.demo_queries import (
+        TRAP_DEPTH_MILLI,
+        TRAP_LOOPY_MILLI,
+        f8_trap_detect,
+    )
+
+    rows = f8_trap_detect(spark, SF).collect()
+    assert rows
+    n_trap = sum(r["is_trap"] for r in rows)
+    assert 0 < n_trap < len(rows)  # non-vacuous both ways
+    for r in rows:
+        assert r["is_trap"] == (
+            r["loopy_milli"] >= TRAP_LOOPY_MILLI
+            or r["depth_milli"] >= TRAP_DEPTH_MILLI
+        )
+        assert 0 <= r["loopy_milli"] <= 1000
+        assert r["n_urls"] > 0
+
+
 def test_f7_formula_and_ordering(spark):
     rows = f7_quality_priority(spark, SF).collect()
     assert len(rows) == F7_TOPK
