@@ -1925,59 +1925,75 @@ GROUP BY b.doc_id, b.lang
 #   + 0.5)/1e6, g = -ln(-ln(u)), rounded to millinats;
 # - selection = top-K by (logw + gumbel) with doc_id tiebreak.
 #
-# Scale (100 TB): token explode + groupBy(feature) are map-side-
-# combinable with only 512 distinct keys on the wire after partial agg;
-# the score table broadcasts into the per-token join; per-doc sum keys on
-# doc_id (no skew); top-K is a TakeOrdered, never a single-partition
-# window. Raw/target totals ride along as 1-row broadcast cross joins —
-# fully declarative, no driver collect.
+# Scale (100 TB): TWO corpus scans total (the source_mix protocol).
+# Scan 1: token explode + ONE conditional groupBy(feature) computes raw
+# AND target counts together (map-side combinable, 512 keys on the
+# wire); the 512-row result is collected and the log-ratio score table
+# is built on the driver (math.log == DuckDB ln == same libm,
+# half-away-from-zero rounding) and re-enters scan 2 as a broadcast
+# literal. Scan 2: per-doc integer sum keyed on doc_id (no skew); top-K
+# is a TakeOrdered, never a single-partition window.
 DSIR_FEATS = 512
 DSIR_FEAT_SEED = 131
 DSIR_GUMBEL_SEED = 97
 DSIR_K = 200
 
 
+def _round_half_away(x: float) -> int:
+    """Half-away-from-zero rounding — matches Spark round() and DuckDB
+    round() on DOUBLE (Python's built-in round is banker's and would
+    diverge on exact .5 boundaries)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
 def dsir_sample(spark: SparkSession, sf_dir: str, k: int = DSIR_K) -> DataFrame:
+    import math
+
     from spider_core_spark.textops.dedup import _h64_spark
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
-    feats = toks.select(
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
         "doc_id",
         "lang",
         (
             F.expr(_h64_spark("tok", DSIR_FEAT_SEED)) % DSIR_FEATS
         ).cast("long").alias("f"),
     )
-    raw = feats.groupBy("f").agg(F.count("*").cast("long").alias("c_raw"))
-    tgt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count("*").cast("long").alias("c_tgt"))
-    )
-    tot = (
-        raw.agg(F.sum("c_raw").cast("long").alias("r_tot"))
-        .crossJoin(tgt.agg(F.sum("c_tgt").cast("long").alias("t_tot")))
-    )
-    score = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.round(
-                F.lit(1000.0)
-                * F.log(
-                    (
-                        (F.coalesce("c_tgt", F.lit(0)) + 1)
-                        / (F.col("t_tot") + DSIR_FEATS)
-                    )
-                    / ((F.col("c_raw") + 1) / (F.col("r_tot") + DSIR_FEATS))
-                ),
-                0,
-            ).cast("long").alias("s_milli"),
+    # scan 1: raw + target counts in ONE conditional aggregation
+    counts = (
+        feats.groupBy("f")
+        .agg(
+            F.count("*").cast("long").alias("c_raw"),
+            F.sum((F.col("lang") == "en").cast("long")).cast("long").alias(
+                "c_tgt"
+            ),
         )
+        .collect()  # <= DSIR_FEATS rows — the source_mix driver protocol
     )
+    r_tot = sum(r["c_raw"] for r in counts)
+    t_tot = sum(r["c_tgt"] for r in counts)
+    score = spark.createDataFrame(
+        [
+            (
+                r["f"],
+                _round_half_away(
+                    1000.0
+                    * math.log(
+                        ((r["c_tgt"] + 1) / (t_tot + DSIR_FEATS))
+                        / ((r["c_raw"] + 1) / (r_tot + DSIR_FEATS))
+                    ),
+                ),
+            )
+            for r in counts
+        ],
+        "f long, s_milli long",
+    )
+    # scan 2: per-doc integer weight sum against the broadcast score table
     logw = (
         feats.join(F.broadcast(score), "f")
         .groupBy("doc_id", "lang")
