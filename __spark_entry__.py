@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_assign": ta.split_assign,
         "text_dsir_sample": ta.dsir_sample,
         "text_length_quantiles": ta.length_quantiles,
+        "text_tfidf_search": ta.tfidf_search,
         "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "text_split_assign": ta.split_assign_sql(),
         "text_dsir_sample": ta.dsir_sample_sql(),
         "text_length_quantiles": ta.length_quantiles_sql(),
+        "text_tfidf_search": ta.tfidf_search_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),

@@ -2055,6 +2055,102 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------- lexical tf-idf search
+# Boolean OR retrieval with tf·idf ranking over the corpus — the lexical
+# sibling of the ANN suite (a corpus pipeline needs term lookup for
+# auditing/decontamination spot checks as much as vector search). Robertson
+# -Sparck Jones idf in integer millinats: idf_milli = round(1000·ln((N −
+# df + 0.5)/(df + 0.5) + 1)) (the BM25 idf, floor 0 by construction);
+# doc score = Σ_matched_terms tf · idf_milli — an EXACT integer, so the
+# ranking has no FP hazard (k1/b length normalization is a documented
+# extension; it would put one correctly-rounded division per (doc, term)
+# pair on top).
+#
+# Scale: the term filter is pushed INTO the token explode (only query
+# terms survive the scan stage — the exploded frame is |terms|-bounded,
+# not corpus-sized); tf agg and df agg are map-side combinable; the
+# |terms|-row idf table and the 1-row N singleton join broadcast; top-k
+# is a TakeOrdered.
+SEARCH_TERMS = ["spark", "query", "window"]
+SEARCH_TOPK = 50
+
+
+def tfidf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str] | None = None,
+    k: int = SEARCH_TOPK,
+) -> DataFrame:
+    terms = SEARCH_TERMS if terms is None else terms
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.array_contains(term_arr, F.col("tok")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n = _docs(spark, sf_dir).agg(F.count("*").cast("long").alias("n_docs"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.round(
+                F.lit(1000.0)
+                * F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+                0,
+            ).cast("long").alias("idf_milli"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.col("tf") * F.col("idf_milli")).cast("long").alias(
+                "score_milli"
+            ),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def tfidf_search_sql(
+    terms: list[str] | None = None, k: int = SEARCH_TOPK
+) -> str:
+    terms = SEARCH_TERMS if terms is None else terms
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok IN ({lst})
+  GROUP BY 1, 2
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), idf AS (
+  SELECT tok,
+         round(1000.0 * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 0)::BIGINT
+           AS idf_milli
+  FROM (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1), n
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms,
+       sum(tf * idf_milli)::BIGINT AS score_milli
+FROM tf JOIN idf USING (tok)
+GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # --------------------------------------------- exact length quantiles
 # Per-language EXACT token-count quantiles (type-1 / inverse empirical
 # CDF: q_p = smallest value whose cumulative count reaches ceil(p·N/100))
