@@ -151,3 +151,42 @@ def host_ema_state(obs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_register_stream(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Streaming HyperLogLog: live distinct-URL cardinality over an
+    unbounded URL stream (the streaming twin of
+    ``plans/demo_queries.u3_hll_registers`` — identical hash layout, so
+    batch and streaming sketches are interchangeable and merge by max).
+
+    State is BOUNDED AT 256 ROWS no matter how many URLs flow through —
+    a streaming ``count(DISTINCT url)`` would grow state with every new
+    URL (and a watermark would silently undercount; distinct URLs never
+    expire). max() is monotone, so complete/update output needs no
+    watermark and checkpoint recovery resumes the sketch exactly. Feed
+    ``plans.demo_queries.hll_estimate`` the 256 collected registers for
+    the running estimate.
+
+    Works unchanged on a BATCH DataFrame (same plan, one combinable
+    aggregation) — used by the parity test.
+    """
+    from spider_core_spark.functions.hashing import h64_col
+    from spider_core_spark.plans.demo_queries import _HLL_WBITS, HLL_M
+
+    rho_max = _HLL_WBITS + 1
+    return (
+        urls.select(h64_col(F.col(url_col)).alias("_h"))
+        .select(
+            (F.col("_h") % HLL_M).cast("long").alias("bucket"),
+            F.expr(f"_h div {HLL_M}").alias("_w"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CASE WHEN _w = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(ltrim('0', bin(_w))) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("long").alias("register"))
+    )

@@ -166,3 +166,59 @@ def test_windowed_metrics_column_contract(spark):
         "window_start", "window_end", "host",
         "n_fetches", "total_bytes", "n_errors", "max_ms",
     ]
+
+
+# ---------------------------------------------------------- streaming HLL
+URL_SCHEMA = "url string"
+
+
+def _write_urls(spark, d, urls):
+    spark.createDataFrame([(u,) for u in urls], URL_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, f"gen_{uuid.uuid4().hex}"))
+
+
+def _run_hll(spark, src, ck, name):
+    q = (
+        ms.hll_register_stream(
+            spark.readStream.schema(URL_SCHEMA).parquet(src + "/*")
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return {
+        r["bucket"]: r["register"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_hll_stream_matches_batch_and_recovers(spark, tmp_path):
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    batch_of = lambda urls: {
+        r["bucket"]: r["register"]
+        for r in ms.hll_register_stream(
+            spark.createDataFrame([(u,) for u in urls], URL_SCHEMA)
+        ).collect()
+    }
+
+    urls1 = [f"http://h{i % 7}.test/p{i}" for i in range(300)]
+    _write_urls(spark, src, urls1)
+    got1 = _run_hll(spark, src, ck, "hll_t1")
+    assert got1 == batch_of(urls1)
+
+    # second availableNow run on the SAME checkpoint: state (the sketch)
+    # recovers and absorbs only the new file; result == batch over the
+    # union — and registers never decrease (max is monotone)
+    urls2 = [f"http://h{i % 7}.test/q{i}" for i in range(200)]
+    _write_urls(spark, src, urls2)
+    got2 = _run_hll(spark, src, ck, "hll_t2")
+    assert got2 == batch_of(urls1 + urls2)
+    for b, r in got1.items():
+        assert got2.get(b, 0) >= r
