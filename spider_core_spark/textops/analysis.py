@@ -2055,6 +2055,73 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------ split leakage check
+# Eval hygiene: a hash split assigns docs to train/val/test
+# INDEPENDENTLY of content, so near-duplicate pairs can straddle the
+# boundary — the classic "test set leaked into training" failure (the
+# reason Lee et al. 2022 dedup before splitting). This op counts MinHash
+# candidate near-dup pairs per (split, split) cell; any off-diagonal
+# mass is leakage the pipeline must resolve (drop one side, or split by
+# cluster instead of by doc).
+#
+# Scale: reuses the persisted band table (one signature pass) and the
+# one (band_idx, band_hash) equi-join from minhash_pairs; the split
+# label is a per-row hash expression attached during the pair join
+# (docs side pruned to doc_id only); output is a ≤9-row aggregate.
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.textops import dedup as td
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    pairs = td.minhash_pairs(spark, sf_dir)
+    pct = F.expr(_h64_spark("cast(doc_id as string)", SPLIT_SEED)) % 100
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("a"), F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+def split_leakage_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+    from spider_core_spark.textops import dedup as td
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=SPLIT_SEED)
+    return f"""
+WITH pairs AS ({td.minhash_pairs_sql()}),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ({h}) % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_lo,
+       greatest(sa.split, sb.split) AS split_hi,
+       count(*)::BIGINT AS n_pairs,
+       (least(sa.split, sb.split) <> greatest(sa.split, sb.split)) AS leaked
+FROM pairs
+JOIN sp sa ON sa.doc_id = pairs.a
+JOIN sp sb ON sb.doc_id = pairs.b
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- lexical tf-idf search
 # Boolean OR retrieval with tf·idf ranking over the corpus — the lexical
 # sibling of the ANN suite (a corpus pipeline needs term lookup for

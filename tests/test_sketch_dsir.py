@@ -151,6 +151,19 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_split_leakage_conserves_pairs(spark):
+    from spider_core_spark.textops import dedup as td
+    from spider_core_spark.textops.analysis import split_leakage
+
+    rows = split_leakage(spark, SF).collect()
+    n_pairs_total = td.minhash_pairs(spark, SF).count()
+    td.release_staged_caches()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs_total
+    for r in rows:
+        assert r["leaked"] == (r["split_lo"] != r["split_hi"])
+        assert r["split_lo"] <= r["split_hi"]  # normalized cell
+
+
 def test_f7_formula_and_ordering(spark):
     rows = f7_quality_priority(spark, SF).collect()
     assert len(rows) == F7_TOPK
