@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_quantiles": ta.length_quantiles,
         "text_tfidf_search": ta.tfidf_search,
         "text_split_leakage": ta.split_leakage,
+        "text_sample_fixed_n": ta.corpus_sample_fixed_n,
         "ann_int8_topk": ts.ann_int8_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "text_length_quantiles": ta.length_quantiles_sql(),
         "text_tfidf_search": ta.tfidf_search_sql(),
         "text_split_leakage": ta.split_leakage_sql(),
+        "text_sample_fixed_n": ta.corpus_sample_fixed_n_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),

@@ -2055,6 +2055,72 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------- fixed-N stratified sampling
+# The rate-based sibling (corpus_sample_stratified) keeps a FRACTION per
+# language; mixture builders usually specify an exact COUNT ("40k docs
+# of French"). Deterministic fixed-N: order each language by
+# (h64(doc_id, seed 89), doc_id) — a content-independent shuffle that
+# every engine and every re-run reproduces — and keep the first N.
+#
+# Scale: per-language rank is the grouped-prefix machinery
+# (operators/prefix.py) with val=1 — an exclusive prefix COUNT. The
+# naive row_number() window funnels each whole language through one
+# task (one language ≈ half a web corpus); two-phase range-partitioned
+# rank never does. Small path (≤1M rows) is the plain window the oracle
+# mirrors; big path is bit-equal (test_prefix_sum protocol).
+SAMPLE_FIXED_SEED = 89
+SAMPLE_FIXED_N = 60
+
+
+def corpus_sample_fixed_n(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SAMPLE_FIXED_N,
+    small_threshold: int | None = None,
+) -> DataFrame:
+    from spider_core_spark.operators.prefix import with_group_prefix_sum
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr(_h64_spark("cast(doc_id as string)", SAMPLE_FIXED_SEED)).alias(
+            "_hk"
+        ),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    kwargs = {}
+    if small_threshold is not None:
+        kwargs["small_threshold"] = small_threshold
+    out, release = with_group_prefix_sum(
+        d, ["lang"], ["_hk", "doc_id"], "_one", "_rk", **kwargs
+    )
+    result = (
+        out.filter(F.col("_rk") < n)
+        .select(
+            "doc_id", "lang", (F.col("_rk") + 1).cast("long").alias("sample_rank")
+        )
+    )
+    release()
+    return result
+
+
+def corpus_sample_fixed_n_sql(n: int = SAMPLE_FIXED_N) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(doc_id as varchar)", seed=SAMPLE_FIXED_SEED)
+    return f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {h}, doc_id
+         )::BIGINT AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {n}
+"""
+
+
 # ------------------------------------------------ split leakage check
 # Eval hygiene: a hash split assigns docs to train/val/test
 # INDEPENDENTLY of content, so near-duplicate pairs can straddle the

@@ -151,6 +151,21 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_fixed_n_sample_invariants(spark):
+    from spider_core_spark.textops.analysis import corpus_sample_fixed_n
+
+    n = 25
+    rows = corpus_sample_fixed_n(spark, SF, n=n).collect()
+    big = corpus_sample_fixed_n(spark, SF, n=n, small_threshold=0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, big))
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    for lang, ranks in per_lang.items():
+        assert len(ranks) <= n
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), lang
+
+
 def test_split_leakage_conserves_pairs(spark):
     from spider_core_spark.textops import dedup as td
     from spider_core_spark.textops.analysis import split_leakage
