@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_ema": dq.a6_ema,
         "a7_pipeline_timing": dq.a7_pipeline_timing,
         "a8_perhost_feedback": dq.a8_perhost_feedback,
+        "a9_latency_percentiles": dq.a9_latency_percentiles,
         # training-data ops: dedup suite
         "dedup_exact": td.exact_dedup,
         "dedup_minhash_bands": td.minhash_bands,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "a6_ema": dq.A6_EMA_SQL,
         "a7_pipeline_timing": dq.A7_SQL,
         "a8_perhost_feedback": dq.A8_SQL,
+        "a9_latency_percentiles": dq.A9_SQL,
         "dedup_exact": td.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": td.minhash_bands_sql(),
         "dedup_minhash_pairs": td.minhash_pairs_sql(),

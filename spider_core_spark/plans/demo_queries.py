@@ -1240,6 +1240,74 @@ def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A9: per-host latency percentiles -----------------------------------------
+# The reference reports min/max/avg fetch time (src/stats.rs timing
+# block — the A3 operator); an operator at 1000-executor scale reports
+# tail latency per host (p50/p95/p99), the number politeness budgets and
+# timeout tuning actually act on. EXACT type-1 percentiles, same
+# machinery as text_length_quantiles: the corpus pass is one combinable
+# groupBy(host, ms) histogram, so the cumulative window runs over the
+# bounded (host × distinct-ms) aggregate, never the observation stream.
+# Latency fixture: ms = floor(value · 100) from events (floor, not cast:
+# Spark's double→long cast truncates while DuckDB's rounds — floor is
+# identical in both).
+A9_PCTS = [50, 95, 99]
+
+
+def a9_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.floor(F.col("value") * 100).cast("long").alias("ms"),
+    )
+    hist = e.groupBy("host", "ms").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("host").orderBy("ms")
+    cum = hist.select(
+        "host",
+        "ms",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("host").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_obs"),
+    )
+    pcts = spark.createDataFrame([(p,) for p in A9_PCTS], "pct long")
+    return (
+        cum.crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n_obs"))
+        .groupBy("host", "pct")
+        .agg(
+            F.min("ms").cast("long").alias("q_ms"),
+            F.max("n_obs").cast("long").alias("n_obs"),
+        )
+        .select("host", "pct", "n_obs", "q_ms")
+    )
+
+
+_A9_PCT_VALUES = ", ".join(f"({p})" for p in A9_PCTS)
+A9_SQL = f"""
+WITH e AS (
+  SELECT 'h' || (user_id % 20) || '.test' AS host,
+         floor(value * 100)::BIGINT AS ms
+  FROM events
+), hist AS (
+  SELECT host, ms, count(*)::BIGINT AS c FROM e GROUP BY 1, 2
+), cum AS (
+  SELECT host, ms,
+         sum(c) OVER (PARTITION BY host ORDER BY ms)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY host)::BIGINT AS n_obs
+  FROM hist
+), pcts(pct) AS (VALUES {_A9_PCT_VALUES})
+SELECT host, pct::BIGINT AS pct, max(n_obs)::BIGINT AS n_obs,
+       min(ms)::BIGINT AS q_ms
+FROM cum CROSS JOIN pcts
+WHERE cum * 100 >= pct * n_obs
+GROUP BY 1, 2
+"""
+
+
 F8_SQL = f"""
 WITH per_url AS (
   SELECT 'h' || (l_suppkey % 24) || '.test' AS host,

@@ -151,6 +151,24 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_a9_percentiles_monotone(spark):
+    from spider_core_spark.plans.demo_queries import (
+        A9_PCTS,
+        a9_latency_percentiles,
+    )
+
+    rows = a9_latency_percentiles(spark, SF).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], {})[r["pct"]] = (r["q_ms"], r["n_obs"])
+    assert by_host
+    for host, d in by_host.items():
+        assert sorted(d) == sorted(A9_PCTS), host
+        qs = [d[p][0] for p in sorted(A9_PCTS)]
+        assert qs == sorted(qs), host  # tail percentiles never decrease
+        assert len({d[p][1] for p in d}) == 1, host  # one n_obs per host
+
+
 def test_fixed_n_sample_invariants(spark):
     from spider_core_spark.textops.analysis import corpus_sample_fixed_n
 
