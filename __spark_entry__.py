@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_url_canonicalize": dq.s8_url_canonicalize,
         "p7_blocklist_filter": dq.p7_blocklist_filter,
         "u3_hll_registers": dq.u3_hll_registers,
+        "u4_bloom_membership": dq.u4_bloom_membership,
         "f7_quality_priority": dq.f7_quality_priority,
         "f8_trap_detect": dq.f8_trap_detect,
         "a1_counters": dq.a1_counters,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "s8_url_canonicalize": dq.S8_SQL,
         "p7_blocklist_filter": dq.P7_SQL,
         "u3_hll_registers": dq.U3_SQL,
+        "u4_bloom_membership": dq.U4_SQL,
         "f7_quality_priority": dq.F7_SQL,
         "f8_trap_detect": dq.F8_SQL,
         "a1_counters": dq.A1_SQL,

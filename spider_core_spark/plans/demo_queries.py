@@ -1240,6 +1240,110 @@ def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- U4: Bloom seen-set membership (bit-arithmetic certification) -------------
+# The Bloom/sharded URL-seen prefilter is the north-rule primitive
+# (operators/dedup.py: position_i = int(fp_hex[8i:8i+8], 16) % n_bits,
+# shard = pmod(h64(fp), n_shards), src/scheduler.rs:137 k=5 parity). The
+# engine packs set bits into numpy bitsets broadcast per shard; this
+# query expresses the SAME membership decision relationally — inserted
+# (shard, pos) pairs as a distinct table, candidate probes as a 5-row
+# explode, hit iff all 5 probes land on set bits — calling the very
+# shard_col/bloom_positions_col the engine uses, so the driver gate
+# certifies the bit arithmetic bit-for-bit against DuckDB.
+#
+# Sized for non-vacuous verdicts at sf0.01: 2,500 seen keys × 5 hashes
+# in 16,384 bits ⇒ ~53% fill ⇒ fpr ≈ 0.53^5 ≈ 4% — both hits and false
+# positives appear, and no-false-negative is part of the oracle match.
+BLOOM_Q_BITS = 16_384
+BLOOM_Q_HASHES = 5
+BLOOM_Q_SHARDS = 4
+
+
+def u4_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.operators.dedup import (
+        bloom_positions_col,
+        shard_col,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.sha2(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".test/o"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            256,
+        ).alias("fp"),
+        (F.col("o_orderkey") % 2 == 0).alias("actually_seen"),
+    )
+    probes = base.select(
+        "o_orderkey",
+        "actually_seen",
+        shard_col(F.col("fp"), BLOOM_Q_SHARDS).cast("long").alias("shard"),
+        F.explode(
+            bloom_positions_col(F.col("fp"), BLOOM_Q_BITS, BLOOM_Q_HASHES)
+        ).alias("pos"),
+    )
+    inserted = (
+        probes.filter("actually_seen")
+        .select("shard", "pos")
+        .distinct()
+        .withColumn("_set", F.lit(1).cast("long"))
+    )
+    return (
+        probes.join(inserted, ["shard", "pos"], "left")
+        .groupBy("o_orderkey", "actually_seen")
+        .agg(F.sum(F.coalesce("_set", F.lit(0))).cast("long").alias("_m"))
+        .select(
+            "o_orderkey",
+            "actually_seen",
+            (F.col("_m") == BLOOM_Q_HASHES).alias("bloom_hit"),
+            (
+                (F.col("_m") == BLOOM_Q_HASHES) & ~F.col("actually_seen")
+            ).alias("false_positive"),
+        )
+    )
+
+
+def _u4_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    hfp = h64_duckdb("fp")
+    pos_list = ", ".join(
+        f"('0x' || substring(fp, {1 + 8 * i}, 8))::BIGINT % {BLOOM_Q_BITS}"
+        for i in range(BLOOM_Q_HASHES)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         sha256('http://h' || (o_custkey % 50) || '.test/o' || o_orderkey)
+           AS fp,
+         (o_orderkey % 2 = 0) AS actually_seen
+  FROM orders
+), probes AS (
+  SELECT o_orderkey, actually_seen,
+         ({hfp}) % {BLOOM_Q_SHARDS} AS shard,
+         unnest([{pos_list}]) AS pos
+  FROM base
+), ins AS (
+  SELECT DISTINCT shard, pos FROM probes WHERE actually_seen
+)
+SELECT p.o_orderkey, p.actually_seen,
+       (count(i.pos) = {BLOOM_Q_HASHES}) AS bloom_hit,
+       (count(i.pos) = {BLOOM_Q_HASHES} AND NOT p.actually_seen)
+         AS false_positive
+FROM probes p
+LEFT JOIN ins i ON i.shard = p.shard AND i.pos = p.pos
+GROUP BY 1, 2
+"""
+
+
+U4_SQL = _u4_sql()
+
+
 # --- A9: per-host latency percentiles -----------------------------------------
 # The reference reports min/max/avg fetch time (src/stats.rs timing
 # block — the A3 operator); an operator at 1000-executor scale reports

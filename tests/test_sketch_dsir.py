@@ -151,6 +151,22 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_u4_bloom_no_false_negatives(spark):
+    from spider_core_spark.plans.demo_queries import u4_bloom_membership
+
+    rows = u4_bloom_membership(spark, SF).collect()
+    seen = [r for r in rows if r["actually_seen"]]
+    unseen = [r for r in rows if not r["actually_seen"]]
+    assert seen and unseen
+    # the Bloom contract: a seen key ALWAYS hits
+    assert all(r["bloom_hit"] for r in seen)
+    for r in rows:
+        assert r["false_positive"] == (r["bloom_hit"] and not r["actually_seen"])
+    # fpr in the sized-for ballpark (~4% at 53% fill), never catastrophic
+    fpr = sum(r["false_positive"] for r in unseen) / len(unseen)
+    assert fpr < 0.2
+
+
 def test_a9_percentiles_monotone(spark):
     from spider_core_spark.plans.demo_queries import (
         A9_PCTS,
