@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_fetch_join": dq.j1_fetch_join,
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
+        "j5_anchor_agg": dq.j5_anchor_agg,
         "u1_union_distinct": dq.u1_union_distinct,
         "u2_queue_salvage": dq.u2_queue_salvage,
         "p2_first_seen": dq.p2_first_seen,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "j1_fetch_join": dq.J1_SQL,
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,
+        "j5_anchor_agg": dq.J5_SQL,
         "u1_union_distinct": dq.U1_SQL,
         "u2_queue_salvage": dq.U2_SQL,
         "p2_first_seen": dq.P2_SQL,

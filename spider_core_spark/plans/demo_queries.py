@@ -1240,6 +1240,68 @@ def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- J5: anchor-text aggregation ----------------------------------------------
+# The classic inlink signal (Brin & Page 1998: anchor text describes the
+# TARGET page better than the target's own text): aggregate the link
+# text of every inlink per target URL and keep the top-k terms. The
+# reference extracts links from fetched pages (linkify/scraper,
+# Cargo.lock:1742-1771); a search-grade crawl pipeline aggregates their
+# anchor text across the whole graph — inherently a distributed op the
+# single-process reference never does.
+#
+# Fixture mapping: each lineitem is a link to target page
+# 'http://p{l_partkey}.test' with anchor text p_name (broadcast dim
+# join); multiple inlinks per part give real term frequencies.
+#
+# Scale: anchor explode + groupBy(target, term) is map-side combinable;
+# the top-k window partitions by TARGET over its own aggregated term
+# list (bounded by distinct anchor vocabulary per page, never by inlink
+# count — the heavy dimension collapses in the combinable agg first).
+ANCHOR_TOPK = 3
+
+
+def j5_anchor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    links = li.select(F.col("l_partkey").alias("p_partkey")).join(
+        F.broadcast(part), "p_partkey"
+    )
+    terms = links.select(
+        F.concat(
+            F.lit("http://p"), F.col("p_partkey").cast("string"), F.lit(".test")
+        ).alias("target"),
+        F.explode(F.split("p_name", " ")).alias("term"),
+    )
+    agg = terms.groupBy("target", "term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("target").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANCHOR_TOPK)
+        .select("target", "term", "cnt", "rank")
+    )
+
+
+J5_SQL = f"""
+WITH terms AS (
+  SELECT 'http://p' || l.l_partkey || '.test' AS target,
+         unnest(string_split(p.p_name, ' ')) AS term
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), agg AS (
+  SELECT target, term, count(*)::BIGINT AS cnt FROM terms GROUP BY 1, 2
+)
+SELECT target, term, cnt, rank FROM (
+  SELECT target, term, cnt,
+         row_number() OVER (
+           PARTITION BY target ORDER BY cnt DESC, term ASC
+         )::BIGINT AS rank
+  FROM agg
+)
+WHERE rank <= {ANCHOR_TOPK}
+"""
+
+
 # --- U4: Bloom seen-set membership (bit-arithmetic certification) -------------
 # The Bloom/sharded URL-seen prefilter is the north-rule primitive
 # (operators/dedup.py: position_i = int(fp_hex[8i:8i+8], 16) % n_bits,

@@ -151,6 +151,22 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_j5_anchor_ranks_contiguous(spark):
+    from spider_core_spark.plans.demo_queries import ANCHOR_TOPK, j5_anchor_agg
+
+    rows = j5_anchor_agg(spark, SF).collect()
+    by_target = {}
+    for r in rows:
+        by_target.setdefault(r["target"], []).append((r["rank"], r["cnt"]))
+    assert by_target
+    for tgt, rs in by_target.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1)), tgt
+        assert len(rs) <= ANCHOR_TOPK
+        cnts = [c for _, c in rs]
+        assert cnts == sorted(cnts, reverse=True), tgt
+
+
 def test_u4_bloom_no_false_negatives(spark):
     from spider_core_spark.plans.demo_queries import u4_bloom_membership
 
