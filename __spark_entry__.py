@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_retry_gate": dq.f3_retry_gate,
         "f5_recrawl_schedule": dq.f5_recrawl_schedule,
         "f6_pagerank_priority": dq.f6_pagerank_priority,
+        "g1_degree_histogram": dq.g1_degree_histogram,
         "j1_fetch_join": dq.j1_fetch_join,
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_retry_gate": dq.F3_SQL,
         "f5_recrawl_schedule": dq.F5_SQL,
         "f6_pagerank_priority": dq.F6_SQL,
+        "g1_degree_histogram": dq.G1_SQL,
         "j1_fetch_join": dq.J1_SQL,
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,

@@ -1240,6 +1240,77 @@ def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G1: link-graph degree histogram ------------------------------------------
+# The first report every web-graph pipeline runs (Broder et al. 2000,
+# "Graph structure in the web"): in/out-degree distributions in log2
+# buckets (web degrees are power-law — linear buckets are useless).
+# Same deterministic edge fixture as f6 (src = user_id, dst =
+# h64(event_id) % U, self-loops dropped). Bucket = bit-length of the
+# degree (the HLL ltrim-bin primitive doing integer log2), so the whole
+# op is integer-exact.
+#
+# Scale: two combinable groupBys (degree per node, then nodes per
+# bucket) per direction; the second agg's input is |V| rows and its
+# output ≤ 64 buckets. No windows, no joins against the edge set beyond
+# the degree count itself.
+
+
+def g1_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.textops.dedup import _h64_spark
+
+    ev = _t(spark, sf_dir, "events")
+    u_max = ev.agg(F.max("user_id")).collect()[0][0]  # driver scalar (f6)
+    n_nodes = int(u_max) + 1
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("src"),
+        (
+            F.expr(_h64_spark("cast(event_id as string)", PR_SEED)) % n_nodes
+        ).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+    def hist(col: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(col).agg(F.count("*").cast("long").alias("deg"))
+        return (
+            deg.select(
+                F.expr("length(ltrim('0', bin(deg)))").cast("long").alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_nodes"))
+            .select(F.lit(direction).alias("direction"), "bucket", "n_nodes")
+        )
+
+    return hist("src", "out").unionAll(hist("dst", "in"))
+
+
+def _g1_sql() -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    h = h64_duckdb("cast(event_id as varchar)", seed=PR_SEED)
+    part = """
+SELECT '{d}' AS direction, length(ltrim(bin(deg), '0'))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_nodes
+FROM (SELECT {col}, count(*)::BIGINT AS deg FROM edges GROUP BY 1)
+GROUP BY 2"""
+    return f"""
+WITH u AS (
+  SELECT (max(user_id) + 1)::BIGINT AS n FROM events
+), edges AS (
+  SELECT user_id::BIGINT AS src,
+         ({h} % (SELECT n FROM u))::BIGINT AS dst
+  FROM events
+  WHERE user_id::BIGINT <> ({h} % (SELECT n FROM u))::BIGINT
+)
+{part.format(d='out', col='src')}
+UNION ALL
+{part.format(d='in', col='dst')}
+"""
+
+
+G1_SQL = _g1_sql()
+
+
 # --- J5: anchor-text aggregation ----------------------------------------------
 # The classic inlink signal (Brin & Page 1998: anchor text describes the
 # TARGET page better than the target's own text): aggregate the link

@@ -151,6 +151,31 @@ def test_trap_detect_formula(spark):
         assert r["n_urls"] > 0
 
 
+def test_g1_degree_histogram_conserves_nodes(spark):
+    from spider_core_spark.plans.demo_queries import (
+        PR_SEED,
+        g1_degree_histogram,
+    )
+    from spider_core_spark.functions.hashing import h64_py
+
+    rows = g1_degree_histogram(spark, SF).collect()
+    got = {
+        d: sum(r["n_nodes"] for r in rows if r["direction"] == d)
+        for d in ("out", "in")
+    }
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id FROM read_parquet('{SF}/events.parquet')"
+    ).fetchall()
+    n = max(u for _, u in ev) + 1
+    edges = [
+        (u, h64_py(str(e), PR_SEED) % n)
+        for e, u in ev
+        if u != h64_py(str(e), PR_SEED) % n
+    ]
+    assert got["out"] == len({s for s, _ in edges})
+    assert got["in"] == len({d for _, d in edges})
+
+
 def test_j5_anchor_ranks_contiguous(spark):
     from spider_core_spark.plans.demo_queries import ANCHOR_TOPK, j5_anchor_agg
 
