@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_leakage": ta.split_leakage,
         "text_sample_fixed_n": ta.corpus_sample_fixed_n,
         "ann_int8_topk": ts.ann_int8_topk,
+        "ann_pq_topk": ts.ann_pq_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
         # synthetic media table; checked outputs are exact ints/strings so
         # the DuckDB oracle (range()-generated, no external data) matches
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "text_split_leakage": ta.split_leakage_sql(),
         "text_sample_fixed_n": ta.corpus_sample_fixed_n_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
+        "ann_pq_topk": ts.ann_pq_sql(),
         "mm_features": tm.features_sql(),
         "mm_frame_sample": tm.frames_sql(),
         "mm_patchify": tm.patchify_sql(),

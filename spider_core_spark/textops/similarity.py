@@ -347,3 +347,178 @@ SELECT query_id, vec_id AS neighbor_id, qcos, cos,
 FROM scored
 QUALIFY rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------- product quantization
+# Faiss-style PQ (Jégou, Douze & Schmid 2011, "Product quantization for
+# nearest neighbor search"): split each vector into M subvectors, train
+# a K-codeword codebook per subspace (the integer-Lloyd machinery from
+# textops/semantic.py, reused verbatim on the sliced frames), encode
+# every vector as M small codes (M·log2(K) bits — 12 bits/vector here vs
+# 512 bytes of doubles), and answer queries by ADC: per query, a tiny
+# (M × K) lookup table of exact integer subspace distances, so scoring a
+# candidate is M integer adds instead of a dim-wide dot product.
+#
+# All arithmetic after the one quantization step is exact int64 (the
+# semantic.py contract), so the unrolled DuckDB oracle matches
+# bit-for-bit — including the training iterations.
+#
+# Scale (10^10 vectors): training shuffles O(K·dim) rows per iteration
+# (map-side-combinable update, broadcast-literal assign); ENCODE is M
+# narrow zero-shuffle map passes unioned in long form (no self-joins);
+# scoring joins the broadcast (NQ·M·K)-row LUT against the code stream
+# and reduces with one combinable groupBy(query_id, vec_id). The code
+# table is the artifact a deployment persists: 12 bits/vector instead of
+# the raw embeddings.
+PQ_M = 8          # subspaces
+PQ_SUB = 8        # dims per subspace (M × SUB = 64)
+PQ_K = 16         # codewords per subspace
+PQ_ITERS = 1      # Lloyd rounds per codebook (oracle unrolls the same)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.textops.semantic import (
+        _QV_SPARK,
+        _best_centroid,
+        _update_centroids,
+    )
+
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v")
+        .withColumn("qv", F.expr(_QV_SPARK))
+        .select("vec_id", "qv")
+    )
+    q_rows = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    code_parts = []
+    lut_rows = []
+    for m in range(PQ_M):
+        sub = e.select(
+            "vec_id", F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("qv")
+        )
+        cents = [
+            (int(r["vec_id"]), [int(x) for x in r["qv"]])
+            for r in sub.filter(F.col("vec_id") < PQ_K)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        for _ in range(PQ_ITERS):
+            best = _best_centroid(cents)
+            assigned = sub.withColumn("cid", best["cid"]).select(
+                "vec_id", "qv", "cid"
+            )
+            cents = _update_centroids(assigned)
+        best = _best_centroid(cents)
+        code_parts.append(
+            sub.select(
+                "vec_id",
+                F.lit(m).cast("long").alias("m"),
+                best["cid"].alias("code"),
+            )
+        )
+        for qid, qv in q_rows:
+            qsub = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
+            for cid, qc in cents:
+                d = sum((a - b) * (a - b) for a, b in zip(qsub, qc))
+                lut_rows.append((qid, m, int(cid), int(d)))
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionAll(p)
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m long, code long, d long"
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("qdist"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qdist", "rank")
+    )
+
+
+def ann_pq_sql() -> str:
+    from spider_core_spark.textops.semantic import _QV_DUCK
+
+    qd_sub = (
+        "CAST(list_sum([(q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]) "
+        f"for i in range(1, {PQ_SUB} + 1)]) AS BIGINT)"
+    )
+    parts = [f"qq AS (SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings)"]
+    code_union = []
+    lut_union = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(
+            f"qm{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM qq)"
+        )
+        parts.append(
+            f"c0_{m} AS (SELECT vec_id AS cid, qv AS qc FROM qm{m} "
+            f"WHERE vec_id < {PQ_K})"
+        )
+        prev = f"c0_{m}"
+        for i in range(PQ_ITERS):
+            parts.append(
+                f"""a{i}_{m} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_sub}, c.cid) AS rn
+    FROM qm{m} q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+            )
+            parts.append(
+                f"""c{i + 1}_{m} AS (
+  SELECT cid, list(mv ORDER BY idx) AS qc FROM (
+    SELECT cid, idx, (s - ((s % c + c) % c)) // c AS mv
+    FROM (SELECT cid, idx, CAST(sum(qe) AS BIGINT) AS s, count(*) AS c
+          FROM (SELECT cid, generate_subscripts(qv, 1) AS idx,
+                       unnest(qv) AS qe FROM a{i}_{m})
+          GROUP BY cid, idx)
+  ) GROUP BY cid
+)"""
+            )
+            prev = f"c{i + 1}_{m}"
+        parts.append(
+            f"""code{m} AS (
+  SELECT vec_id, {m} AS m, cid AS code FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_sub}, c.cid) AS rn
+    FROM qm{m} q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        code_union.append(f"SELECT * FROM code{m}")
+        lut_union.append(
+            f"SELECT q.vec_id AS query_id, {m} AS m, c.cid AS code, "
+            f"{qd_sub} AS d FROM qm{m} q CROSS JOIN {prev} c "
+            f"WHERE q.vec_id < {N_QUERIES}"
+        )
+    parts.append("codes AS (" + " UNION ALL ".join(code_union) + ")")
+    parts.append("lut AS (" + " UNION ALL ".join(lut_union) + ")")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS qdist
+  FROM codes cd JOIN lut l USING (m, code)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, qdist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY qdist ASC, vec_id ASC)::BIGINT AS rank
+FROM scored
+WHERE vec_id <> query_id
+QUALIFY rank <= {TOP_K}
+"""
