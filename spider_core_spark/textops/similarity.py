@@ -376,12 +376,44 @@ PQ_K = 16         # codewords per subspace
 PQ_ITERS = 1      # Lloyd rounds per codebook (oracle unrolls the same)
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spider_core_spark.textops.semantic import (
-        _QV_SPARK,
-        _best_centroid,
-        _update_centroids,
+def _pq_best(cents: dict[int, list[tuple[int, list[int]]]]) -> F.Column:
+    """Per-row argmin against the row's OWN subspace codebook: the M
+    codebooks enter as one nested broadcast literal (array indexed by the
+    row's `m` column), so all M subspaces train/encode in a single
+    narrow pass instead of M separate jobs. Same exact integer squared-L2
+    + cid tiebreak as semantic._best_centroid."""
+    per_m = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(cid)).cast("long").alias("cid"),
+                        F.array(*[F.lit(int(q)) for q in qc])
+                        .cast("array<bigint>")
+                        .alias("qc"),
+                    )
+                    for cid, qc in cents[m]
+                ]
+            )
+            for m in sorted(cents)
+        ]
     )
+    scored = F.transform(
+        F.element_at(per_m, (F.col("m") + 1).cast("int")),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), c["qc"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(scored)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.textops.semantic import _QV_SPARK
 
     e = (
         _emb(spark, sf_dir)
@@ -389,46 +421,68 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qv", F.expr(_QV_SPARK))
         .select("vec_id", "qv")
     )
+    # long form: one row per (vec_id, subspace) — every training/encode
+    # pass below handles ALL M subspaces in one job
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qv", m * PQ_SUB + 1, PQ_SUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sv"),
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "sv")
+    seed_rows = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .orderBy("m", "vec_id")
+        .collect()
+    )
+    cents: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in seed_rows:
+        cents.setdefault(int(r["m"]), []).append(
+            (int(r["vec_id"]), [int(x) for x in r["sv"]])
+        )
+    for _ in range(PQ_ITERS):
+        best = _pq_best(cents)
+        assigned = sub.select("m", best["cid"].alias("cid"), "sv")
+        upd = (  # ONE combinable shuffle + ONE collect for all subspaces
+            assigned.select("m", "cid", F.posexplode("sv").alias("idx", "q"))
+            .groupBy("m", "cid", "idx")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("c"))
+            .withColumn("mv", F.expr("(s - pmod(s, c)) div c"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("qc")
+            )
+            .collect()
+        )
+        cents = {}
+        for r in upd:
+            cents.setdefault(int(r["m"]), []).append(
+                (int(r["cid"]), [int(x) for x in r["qc"]])
+            )
+        for m in cents:
+            cents[m].sort()
+    best = _pq_best(cents)
+    codes = sub.select("vec_id", "m", best["cid"].alias("code"))
     q_rows = [
         (int(r["vec_id"]), [int(x) for x in r["qv"]])
         for r in e.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
         .collect()
     ]
-    code_parts = []
     lut_rows = []
-    for m in range(PQ_M):
-        sub = e.select(
-            "vec_id", F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("qv")
-        )
-        cents = [
-            (int(r["vec_id"]), [int(x) for x in r["qv"]])
-            for r in sub.filter(F.col("vec_id") < PQ_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-        for _ in range(PQ_ITERS):
-            best = _best_centroid(cents)
-            assigned = sub.withColumn("cid", best["cid"]).select(
-                "vec_id", "qv", "cid"
-            )
-            cents = _update_centroids(assigned)
-        best = _best_centroid(cents)
-        code_parts.append(
-            sub.select(
-                "vec_id",
-                F.lit(m).cast("long").alias("m"),
-                best["cid"].alias("code"),
-            )
-        )
-        for qid, qv in q_rows:
+    for qid, qv in q_rows:
+        for m in range(PQ_M):
             qsub = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
-            for cid, qc in cents:
+            for cid, qc in cents[m]:
                 d = sum((a - b) * (a - b) for a, b in zip(qsub, qc))
                 lut_rows.append((qid, m, int(cid), int(d)))
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.unionAll(p)
     lut = spark.createDataFrame(
         lut_rows, "query_id long, m long, code long, d long"
     )
