@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_byte_format": dq.s5_byte_format,
         "s7_robots_parse": dq.s7_robots_parse,
         "s8_url_canonicalize": dq.s8_url_canonicalize,
+        "s9_sitemap_parse": dq.s9_sitemap_parse,
         "p7_blocklist_filter": dq.p7_blocklist_filter,
         "u3_hll_registers": dq.u3_hll_registers,
         "u4_bloom_membership": dq.u4_bloom_membership,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "s5_byte_format": dq.S5_SQL,
         "s7_robots_parse": dq.S7_SQL,
         "s8_url_canonicalize": dq.S8_SQL,
+        "s9_sitemap_parse": dq.S9_SQL,
         "p7_blocklist_filter": dq.P7_SQL,
         "u3_hll_registers": dq.U3_SQL,
         "u4_bloom_membership": dq.U4_SQL,

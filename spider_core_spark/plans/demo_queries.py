@@ -1240,6 +1240,76 @@ def f8_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S9: sitemap parse (URL discovery) ----------------------------------------
+# Sitemap-driven discovery (sitemaps.org protocol, public): a crawler
+# fetches /sitemap.xml per host and seeds the frontier from its <loc>
+# entries — the push-channel complement to link extraction (the
+# reference only discovers via parsed links). The fixture synthesizes a
+# deterministic sitemap blob per host from orders (sorted string_agg —
+# identical bytes in both engines), then the OPERATOR half parses it
+# back: regexp-extract every <loc>, emit (host, seq, url) frontier rows
+# in document order. Mirrors the multimodal pattern: synthetic input,
+# real parse plumbing.
+#
+# Scale: blob build is one combinable-ish groupBy(host) (collect_list +
+# array_sort — bounded by per-host sitemap size, 50k-URL sitemap caps in
+# the protocol); parsing is a narrow per-blob regexp + posexplode, fully
+# partition-parallel across hosts.
+
+
+def s9_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    entries = o.select(
+        F.concat(
+            F.lit("h"), (F.col("o_custkey") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("<url><loc>http://h"),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.lit(".test/o"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</loc></url>"),
+        ).alias("entry"),
+    )
+    blobs = entries.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    return (
+        blobs.select(
+            "host",
+            F.posexplode(
+                F.expr(r"regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
+            ).alias("seq", "url"),
+        )
+        .select("host", F.col("seq").cast("long").alias("seq"), "url")
+    )
+
+
+S9_SQL = """
+WITH entries AS (
+  SELECT 'h' || (o_custkey % 20) || '.test' AS host,
+         '<url><loc>http://h' || (o_custkey % 20) || '.test/o'
+           || o_orderkey || '</loc></url>' AS entry
+  FROM orders WHERE o_orderkey % 10 = 0
+), blobs AS (
+  SELECT host,
+         '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>'
+           AS xml
+  FROM entries GROUP BY 1
+), locs AS (
+  SELECT host, regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1) AS ls
+  FROM blobs
+)
+SELECT host, (generate_subscripts(ls, 1) - 1)::BIGINT AS seq,
+       unnest(ls) AS url
+FROM locs
+"""
+
+
 # --- G1: link-graph degree histogram ------------------------------------------
 # The first report every web-graph pipeline runs (Broder et al. 2000,
 # "Graph structure in the web"): in/out-degree distributions in log2
