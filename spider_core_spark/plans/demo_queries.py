@@ -1278,15 +1278,9 @@ def s9_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</urlset>"),
         ).alias("xml")
     )
-    return (
-        blobs.select(
-            "host",
-            F.posexplode(
-                F.expr(r"regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
-            ).alias("seq", "url"),
-        )
-        .select("host", F.col("seq").cast("long").alias("seq"), "url")
-    )
+    from spider_core_spark.plans.discovery import parse_sitemaps
+
+    return parse_sitemaps(blobs)
 
 
 S9_SQL = """
