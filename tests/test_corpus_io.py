@@ -73,6 +73,15 @@ def test_shard_big_path_matches_small_path(spark):
     assert _sorted_rows(small) == _sorted_rows(big)
 
 
+def test_write_corpus_shards_json(spark, tmp_path):
+    d = _docs(spark)
+    path = str(tmp_path / "shards_json")
+    corpus_io.write_corpus_shards(d, path, shard_tokens=2000, fmt="json")
+    back = spark.read.json(path)
+    assert back.count() == d.count()
+    assert "shard" in back.columns
+
+
 def test_write_corpus_shards_partitions(spark, tmp_path):
     d = _docs(spark)
     path = str(tmp_path / "shards")
