@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_search": ta.tfidf_search,
         "text_split_leakage": ta.split_leakage,
         "text_sample_fixed_n": ta.corpus_sample_fixed_n,
+        "text_bpe_merges": ta.bpe_merges,
         "ann_int8_topk": ts.ann_int8_topk,
         "ann_pq_topk": ts.ann_pq_topk,
         # multimodal plumbing: mapInPandas stages over a deterministic
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_search": ta.tfidf_search_sql(),
         "text_split_leakage": ta.split_leakage_sql(),
         "text_sample_fixed_n": ta.corpus_sample_fixed_n_sql(),
+        "text_bpe_merges": ta.bpe_merges_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "ann_pq_topk": ts.ann_pq_sql(),
         "mm_features": tm.features_sql(),

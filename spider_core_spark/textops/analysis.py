@@ -2055,6 +2055,106 @@ LIMIT {k}
 """
 
 
+# ------------------------------------------------- BPE merge training
+# The canonical LLM tokenizer-training step (Sennrich et al. 2016,
+# "Neural machine translation of rare words with subword units"):
+# repeatedly merge the corpus's most frequent adjacent symbol pair.
+# Words start as space-joined character sequences; each round counts
+# adjacent pairs (one explode + map-side-combinable groupBy), picks the
+# argmax pair (count desc, pair asc tiebreak — ONE driver scalar), and
+# applies the merge as a literal string replace. BPE_MERGES rounds are
+# unrolled declaratively (the f6 fixed-iteration pattern), and the
+# oracle recomputes the SAME rounds with scalar subqueries, so the
+# learned merge table itself is oracle-certified — not just replayed.
+#
+# Scale: each round is one corpus pass (explode + combinable count; the
+# shuffle carries |symbol-pair vocabulary| rows after partial agg) plus
+# an O(1) driver argmax. Production tokenizer training runs the same
+# loop on a fixed sample of the corpus — the deterministic samplers
+# above (rate / fixed-N) are the intended feeders.
+BPE_MERGES = 5
+
+
+def _bpe_chars_spark(col: str) -> str:
+    return (
+        f"array_join(transform(sequence(1, length({col})), "
+        f"i -> substring({col}, i, 1)), ' ')"
+    )
+
+
+def _bpe_pairs(seq_col) -> F.Column:
+    arr = F.split(seq_col, " ")
+    n = F.size(arr)
+    return F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    words = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    seq = words.select(F.expr(_bpe_chars_spark("w")).alias("seq"))
+    merges: list[tuple[int, str, int]] = []
+    for it in range(1, n_merges + 1):
+        top = (
+            seq.select(F.explode(_bpe_pairs(F.col("seq"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((it, top["pair"], int(top["c"])))
+        seq = seq.select(
+            F.replace(  # literal (non-regex) replace — DuckDB parity
+                F.col("seq"),
+                F.lit(top["pair"]),
+                F.lit(top["pair"].replace(" ", "")),
+            ).alias("seq")
+        )
+    return spark.createDataFrame(
+        merges, "iter long, pair string, cnt long"
+    )
+
+
+def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    chars = (
+        "array_to_string([w[i:i] for i in range(1, len(w) + 1)], ' ')"
+    )
+    parts = [
+        "w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        f"s0 AS (SELECT {chars} AS seq FROM w0)",
+    ]
+    selects = []
+    for it in range(1, n_merges + 1):
+        p = it - 1
+        parts.append(
+            f"""p{it} AS (
+  SELECT pair, count(*)::BIGINT AS c FROM (
+    SELECT unnest([arr[i] || ' ' || arr[i + 1]
+                   for i in range(1, len(arr))]) AS pair
+    FROM (SELECT string_split(seq, ' ') AS arr FROM s{p})
+  ) GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"b{it} AS (SELECT pair, c FROM p{it} "
+            f"ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            f"s{it} AS (SELECT replace(seq, (SELECT pair FROM b{it}), "
+            f"replace((SELECT pair FROM b{it}), ' ', '')) AS seq FROM s{p})"
+        )
+        selects.append(f"SELECT {it} AS iter, pair, c AS cnt FROM b{it}")
+    joined = ",\n".join(parts)
+    return f"WITH {joined}\n" + " UNION ALL ".join(selects)
+
+
 # ------------------------------------------- fixed-N stratified sampling
 # The rate-based sibling (corpus_sample_stratified) keeps a FRACTION per
 # language; mixture builders usually specify an exact COUNT ("40k docs

@@ -192,6 +192,38 @@ def test_j5_anchor_ranks_contiguous(spark):
         assert cnts == sorted(cnts, reverse=True), tgt
 
 
+def test_bpe_merges_match_python_twin(spark, tmp_path):
+    from spider_core_spark.textops.analysis import bpe_merges
+
+    texts = [
+        "the then there that other mother",
+        "in inner thin string ring bring",
+        "the other string in the ring",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r) for r in bpe_merges(spark, str(tmp_path), n_merges=3).collect()
+    )
+
+    # pure-python twin of the same greedy merge loop
+    seqs = [" ".join(w) for t in texts for w in t.split(" ")]
+    want = []
+    for it in range(1, 4):
+        counts: dict[str, int] = {}
+        for s in seqs:
+            toks = s.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        want.append((it, pair, counts[pair]))
+        seqs = [s.replace(pair, pair.replace(" ", "")) for s in seqs]
+    assert got == sorted(want)
+
+
 def test_pq_recall_vs_exact_quantized_l2(spark):
     """PQ approximation contract: recall@10 against the EXACT quantized-
     L2 top-10 (apples-to-apples — PQ approximates that metric). Measured
