@@ -21,6 +21,20 @@ corpus-sized (e.g. the cumulative token offset of the 'en' slice of a
 Used by ``textops/packing.py`` (sequence packing needs the exclusive
 cumulative token count per document); reusable for any running-total
 semantics (cumulative bytes per host, watermark offsets, …).
+
+Big-path materialization contract: the driver-collected offsets are keyed
+by ``spark_partition_id()`` of ONE materialization of the range
+repartition, whose boundary sampling is plan-dependent — a recompute could
+re-bucket rows under ``_PID`` values that no longer match the offsets,
+which would be SILENT corruption. The intermediate is therefore an EAGER
+``localCheckpoint``: partitions are frozen as stored blocks and the
+lineage is truncated, so a recompute with different boundaries is
+structurally impossible. If the blocks are dropped before the caller's
+terminal action (premature release), the action fails LOUDLY with a
+missing-checkpoint-block error instead of returning wrong spans.
+``release()`` must still run after the terminal action to free the
+blocks — callers register it with the textops staged-cache registry
+(``textops.dedup.stage_handle``) so ``release_staged_caches()`` drains it.
 """
 
 from __future__ import annotations
@@ -38,6 +52,41 @@ _PID = "__psum_pid"
 SMALL_THRESHOLD = 1_000_000
 
 
+class ReleaseHandle:
+    """Idempotent release token for a staged big-path intermediate.
+
+    Callable (the documented ``release()`` contract) AND quacks like a
+    cached frame (``unpersist``) so callers can hand it to the textops
+    staged-cache registry (``textops.dedup.stage_handle``) for draining
+    after their terminal action."""
+
+    def __init__(self, fn: Callable[[], None]) -> None:
+        self._fn = fn
+        self._done = False
+
+    def __call__(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        try:
+            self._fn()
+        except Exception:
+            pass
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self()
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _jrdd_handles(spark, new_ids: set[int]) -> list:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return [jmap.get(k) for k in jmap.keySet().toArray() if int(k) in new_ids]
+
+
 def with_group_prefix_sum(
     df: DataFrame,
     group_cols: list[str],
@@ -52,10 +101,13 @@ def with_group_prefix_sum(
     for deterministic results.
 
     Returns ``(out_df, release)``. On the big path the output is backed by
-    a persisted intermediate (the range partitioning samples its input, so
-    the offsets job and the final window MUST see identical boundaries);
-    call ``release()`` after the terminal action to drop it. On the small
-    path ``release`` is a no-op — nothing is persisted.
+    an EAGER localCheckpoint of the range-partitioned intermediate (the
+    range partitioning samples its input, so the offsets job and the final
+    window MUST see the identical materialization — see module docstring);
+    call ``release()`` (idempotent, also exposed as ``.unpersist()``)
+    AFTER the terminal action to drop the checkpoint blocks. Releasing
+    early fails the later action loudly; it can never silently corrupt.
+    On the small path ``release`` is a no-op — nothing is persisted.
     """
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 2)
@@ -73,12 +125,16 @@ def with_group_prefix_sum(
             out_col, F.coalesce(F.sum(val_col).over(w), F.lit(0)).cast("long")
         )
         df.unpersist(blocking=False)
-        return out, lambda: None
+        return out, ReleaseHandle(lambda: None)
 
     ranged = df.repartitionByRange(n, *keys).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    ids_before = _persistent_ids(spark)
+    # eager: materialize NOW and truncate lineage — the _PID values become
+    # stored data, never recomputable under different range boundaries
+    ranged = ranged.localCheckpoint(eager=True)
+    ckpt_handles = _jrdd_handles(spark, _persistent_ids(spark) - ids_before)
     part_sums = (
         ranged.groupBy(_PID, *group_cols)
         .agg(F.sum(val_col).cast("long").alias("__psum"))
@@ -120,7 +176,8 @@ def with_group_prefix_sum(
     )
     df.unpersist(blocking=False)
 
-    def release() -> None:
-        ranged.unpersist(blocking=False)
+    def _drop() -> None:
+        for h in ckpt_handles:
+            h.unpersist()
 
-    return out, release
+    return out, ReleaseHandle(_drop)

@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spider_core_spark.operators.prefix import with_group_prefix_sum
+from spider_core_spark.textops.dedup import (
+    release_staged_from,
+    stage_handle,
+    staged_mark,
+)
 
 DOCUMENTS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -96,9 +101,11 @@ def shard_assignments(
         *DOC_COLS,
         F.expr(f"_start_tok div {shard_tokens}").cast("long").alias("shard"),
     )
-    # big path only: the caller's terminal action (the write) materializes
-    # `result` before this lazy unpersist drops the ranged intermediate
-    release()
+    # big path: the checkpointed ranged intermediate must outlive the
+    # caller's terminal action (the write) — register the release handle
+    # for draining via release_staged_caches() AFTER the action, never
+    # before it (the round-4 verdict hazard; see operators/prefix.py).
+    stage_handle(release)
     return result
 
 
@@ -107,12 +114,14 @@ def write_corpus_shards(
     path: str,
     shard_tokens: int = SHARD_TOKENS,
     fmt: str = "parquet",
+    small_threshold: int | None = None,
 ) -> None:
     """Token-balanced partitioned corpus sink: one directory per
     (lang, shard), contiguous in the deterministic stream order. At
     scale, pair with spark.sql.files.maxRecordsPerFile if individual
     shard directories must split further."""
-    sharded = shard_assignments(df, shard_tokens)
+    mark = staged_mark()
+    sharded = shard_assignments(df, shard_tokens, small_threshold=small_threshold)
     w = sharded.write.mode("overwrite").partitionBy("lang", "shard")
     if fmt == "parquet":
         w.parquet(path)
@@ -120,3 +129,5 @@ def write_corpus_shards(
         w.json(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")
+    # the write IS the terminal action — drain this call's staged handles
+    release_staged_from(mark)

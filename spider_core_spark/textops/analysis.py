@@ -2201,7 +2201,11 @@ def corpus_sample_fixed_n(
             "doc_id", "lang", (F.col("_rk") + 1).cast("long").alias("sample_rank")
         )
     )
-    release()
+    # defer release to AFTER the caller's terminal action (the staged-
+    # cache contract; premature release was the round-4 verdict hazard)
+    from spider_core_spark.textops.dedup import stage_handle
+
+    stage_handle(release)
     return result
 
 

@@ -55,16 +55,34 @@ def _stage(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_staged_caches() -> int:
-    """Unpersist every registered staged cache; returns how many."""
-    n = len(_STAGED)
-    for h in _STAGED:
+def stage_handle(handle) -> None:
+    """Register any object exposing ``.unpersist()`` (a cached DataFrame,
+    a JVM RDD handle, or an ``operators.prefix.ReleaseHandle``) for
+    caller-driven draining via release_staged_caches()."""
+    _STAGED.append(handle)
+
+
+def staged_mark() -> int:
+    """Current registry watermark — pair with release_staged_from() to
+    drain only the handles an enclosing operation staged."""
+    return len(_STAGED)
+
+
+def release_staged_from(mark: int) -> int:
+    """Unpersist every handle registered at or after ``mark``."""
+    n = max(len(_STAGED) - mark, 0)
+    for h in _STAGED[mark:]:
         try:
             h.unpersist()
         except Exception:
             pass
-    _STAGED.clear()
+    del _STAGED[mark:]
     return n
+
+
+def release_staged_caches() -> int:
+    """Unpersist every registered staged cache; returns how many."""
+    return release_staged_from(0)
 
 
 def _h64_spark(expr: str, seed: int) -> str:

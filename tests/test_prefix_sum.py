@@ -65,9 +65,62 @@ def test_two_phase_releases_cache(spark):
 
 
 def test_pack_sequences_big_path_matches_registered(spark):
+    from spider_core_spark.textops import dedup as td
+
     reg = tp.pack_sequences(spark, SF_DIR)
     big = tp.pack_sequences(spark, SF_DIR, small_threshold=0)
     assert sorted(map(tuple, reg.collect())) == sorted(map(tuple, big.collect()))
+    td.release_staged_caches()
+
+
+def test_big_path_intermediate_alive_until_caller_releases(spark):
+    """Round-4 verdict #1 regression: the checkpointed ranged intermediate
+    must still be materialized when the CALLER runs the terminal action —
+    pack_sequences/shard_assignments must not release before returning."""
+    from spider_core_spark.sources import corpus_io as cio
+    from spider_core_spark.textops import dedup as td
+
+    td.release_staged_caches()
+    spark.range(1).count()
+    before = _cached_rdd_count(spark)
+
+    big = tp.pack_sequences(spark, SF_DIR, small_threshold=0)
+    # the intermediate is alive at action time (old code: already gone)
+    assert _cached_rdd_count(spark) > before
+    got = sorted(map(tuple, big.collect()))
+    want = sorted(map(tuple, tp.pack_sequences(spark, SF_DIR).collect()))
+    assert got == want
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sharded = cio.shard_assignments(docs, shard_tokens=64, small_threshold=0)
+    assert _cached_rdd_count(spark) > before
+    got_s = sorted(map(tuple, sharded.collect()))
+    want_s = sorted(
+        map(tuple, cio.shard_assignments(docs, shard_tokens=64).collect())
+    )
+    assert got_s == want_s
+
+    # draining the registry AFTER the actions returns to baseline
+    td.release_staged_caches()
+    spark.range(1).count()
+    assert _cached_rdd_count(spark) <= before
+
+
+def test_premature_release_fails_loud_never_wrong(spark):
+    """If someone DOES drop the staged handle before the action, the
+    localCheckpoint contract turns the old silent corruption into either
+    a loud failure or a still-correct result — never a wrong answer."""
+    from spider_core_spark.textops import dedup as td
+
+    want = sorted(map(tuple, tp.pack_sequences(spark, SF_DIR).collect()))
+    td.release_staged_caches()
+    big = tp.pack_sequences(spark, SF_DIR, small_threshold=0)
+    td.release_staged_caches()  # simulate the old premature release
+    try:
+        got = sorted(map(tuple, big.collect()))
+    except Exception:
+        return  # loud failure is within contract
+    assert got == want  # if it computed at all, it must be RIGHT
 
 
 def test_pack_sequences_invariants(spark):
