@@ -47,8 +47,11 @@ def main() -> None:
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from spider_core_spark.plans.demo_queries import HLL_M, hll_estimate
-    from spider_core_spark.streaming.metrics_stream import hll_register_stream
+    from spider_core_spark.plans.demo_queries import hll_estimate
+    from spider_core_spark.streaming.metrics_stream import (
+        hll_pad_registers,
+        hll_register_stream,
+    )
     from spider_core_spark.textops import analysis as ta
     from spider_core_spark.textops import dedup as td
 
@@ -70,8 +73,7 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.explode(F.split("text", " ")).alias("url"))
     )
-    regs = {r["bucket"]: r["register"] for r in hll_register_stream(toks).collect()}
-    full = [regs.get(i, 0) for i in range(HLL_M)]
+    full = hll_pad_registers(hll_register_stream(toks).collect())
     report["vocab_cardinality_est"] = round(hll_estimate(full), 1)
 
     report["split_leakage"] = [

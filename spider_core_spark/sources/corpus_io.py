@@ -49,10 +49,18 @@ def read_documents(
     elif fmt == "json":
         df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     elif fmt == "csv":
+        # multiLine: write_documents quotes embedded newlines correctly;
+        # without it the read side would split quoted records at the
+        # newline and silently misalign/null real web text (round-4
+        # ADVICE). Costs splittability — a multiLine csv file is one
+        # read task per FILE, not per block — which is the honest price
+        # of csv for newline-bearing text; parquet/jsonl are the scale
+        # formats.
         df = (
             spark.read.schema(DOCUMENTS_SCHEMA)
             .option("header", "true")
             .option("escape", '"')
+            .option("multiLine", "true")
             .csv(path)
         )
     else:

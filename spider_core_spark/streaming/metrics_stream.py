@@ -163,9 +163,14 @@ def hll_register_stream(urls: DataFrame, url_col: str = "url") -> DataFrame:
     a streaming ``count(DISTINCT url)`` would grow state with every new
     URL (and a watermark would silently undercount; distinct URLs never
     expire). max() is monotone, so complete/update output needs no
-    watermark and checkpoint recovery resumes the sketch exactly. Feed
-    ``plans.demo_queries.hll_estimate`` the 256 collected registers for
-    the running estimate.
+    watermark and checkpoint recovery resumes the sketch exactly.
+
+    OUTPUT CONTRACT: only OBSERVED buckets are emitted (a streaming agg
+    cannot union in a static 0..HLL_M-1 spine the way the batch
+    ``u3_hll_registers`` left-joins one). ``hll_estimate`` takes
+    ``m = len(registers)``, so NEVER feed it the collected rows
+    directly — zero-pad to the full HLL_M spine first via
+    ``hll_pad_registers`` (what ``scripts/corpus_report.py`` does).
 
     Works unchanged on a BATCH DataFrame (same plan, one combinable
     aggregation) — used by the parity test.
@@ -190,3 +195,20 @@ def hll_register_stream(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").cast("long").alias("register"))
     )
+
+
+def hll_pad_registers(rows) -> list[int]:
+    """Zero-pad collected ``hll_register_stream`` rows to the full
+    ``HLL_M`` spine — the form ``plans.demo_queries.hll_estimate``
+    expects (its ``m`` is ``len(registers)``; feeding only observed
+    buckets would shrink m and skew the estimate — round-4 ADVICE).
+    Accepts Row objects or (bucket, register) tuples."""
+    from spider_core_spark.plans.demo_queries import HLL_M
+
+    full = [0] * HLL_M
+    for r in rows:
+        bucket, register = (
+            (r["bucket"], r["register"]) if hasattr(r, "asDict") else (r[0], r[1])
+        )
+        full[int(bucket)] = int(register)
+    return full

@@ -2062,16 +2062,28 @@ LIMIT {k}
 # Words start as space-joined character sequences; each round counts
 # adjacent pairs (one explode + map-side-combinable groupBy), picks the
 # argmax pair (count desc, pair asc tiebreak — ONE driver scalar), and
-# applies the merge as a literal string replace. BPE_MERGES rounds are
-# unrolled declaratively (the f6 fixed-iteration pattern), and the
-# oracle recomputes the SAME rounds with scalar subqueries, so the
-# learned merge table itself is oracle-certified — not just replayed.
+# applies the merge TOKEN-AWARE (see _bpe_apply_*): separators widen to
+# two spaces and the replace pattern carries its boundary spaces, so a
+# pair can only match whole-symbol adjacencies — never across symbol
+# boundaries once multi-char symbols exist (after 't h'→'th', pair
+# 'h e' must NOT rewrite ['th','e']; the round-4 raw-substring replace
+# did — round-4 ADVICE). The widened-separator replace is exactly
+# Sennrich's greedy non-overlapping left-to-right merge: each match
+# consumes only its own separators, so adjacent merge sites stay
+# independent (['A','B','A','B'] → ['AB','AB']). The oracle recomputes
+# the SAME rounds with scalar subqueries, so the learned merge table
+# itself is oracle-certified — not just replayed.
 #
-# Scale: each round is one corpus pass (explode + combinable count; the
-# shuffle carries |symbol-pair vocabulary| rows after partial agg) plus
-# an O(1) driver argmax. Production tokenizer training runs the same
-# loop on a fixed sample of the corpus — the deterministic samplers
-# above (rate / fixed-N) are the intended feeders.
+# Scale: each round is one corpus pass over a frame that is eagerly
+# localCheckpoint-ed every round (the neardup_clusters pattern) — the
+# previous rounds' replaces are stored data, not lineage, so training is
+# LINEAR in n_merges (round 4 re-derived the stack each round: O(n²)
+# corpus scans) and plan depth stays O(1). Per round: one explode +
+# combinable count (shuffle = |pair vocabulary| rows after partial agg),
+# one O(1) driver argmax, one narrow map + checkpoint materialization.
+# Production contract: a real 30k-merge vocab still means 30k sequential
+# corpus passes — train on a bounded deterministic sample via the
+# corpus_sample_* operators above, exactly like production tokenizers.
 BPE_MERGES = 5
 
 
@@ -2092,14 +2104,39 @@ def _bpe_pairs(seq_col) -> F.Column:
     )
 
 
+def _bpe_apply_spark(seq_col: F.Column, pair: str) -> F.Column:
+    """Token-aware greedy merge of ``pair`` ("A B" → "AB"): widen every
+    separator to two spaces, replace the boundary-delimited occurrence
+    (literal non-regex replace — DuckDB parity), re-collapse. Only
+    whole-symbol adjacencies can match, and each match consumes its own
+    separators, so this is Sennrich's non-overlapping left-to-right
+    merge exactly (see the section comment above)."""
+    pat = " " + pair.replace(" ", "  ") + " "
+    rep = " " + pair.replace(" ", "") + " "
+    padded = F.concat(
+        F.lit(" "), F.replace(seq_col, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    return F.trim(
+        F.replace(
+            F.replace(padded, F.lit(pat), F.lit(rep)), F.lit("  "), F.lit(" ")
+        )
+    )
+
+
 def bpe_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
+    from spider_core_spark.operators.prefix import (
+        _jrdd_handles,
+        _persistent_ids,
+    )
+
     words = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("w")
     )
     seq = words.select(F.expr(_bpe_chars_spark("w")).alias("seq"))
     merges: list[tuple[int, str, int]] = []
+    prev_ckpt: list = []  # previous round's checkpoint RDD handles
     for it in range(1, n_merges + 1):
         top = (
             seq.select(F.explode(_bpe_pairs(F.col("seq"))).alias("pair"))
@@ -2110,13 +2147,21 @@ def bpe_merges(
             .collect()[0]
         )
         merges.append((it, top["pair"], int(top["c"])))
-        seq = seq.select(
-            F.replace(  # literal (non-regex) replace — DuckDB parity
-                F.col("seq"),
-                F.lit(top["pair"]),
-                F.lit(top["pair"].replace(" ", "")),
-            ).alias("seq")
+        if it == n_merges:
+            break  # the post-final-merge sequence is never read
+        nxt = seq.select(
+            _bpe_apply_spark(F.col("seq"), top["pair"]).alias("seq")
         )
+        # eager checkpoint: round it's replaces become stored data, so
+        # round it+1 runs ONE corpus pass, not it stacked ones (linear)
+        ids_before = _persistent_ids(spark)
+        seq = nxt.localCheckpoint(eager=True)
+        new_ids = _persistent_ids(spark) - ids_before
+        for h in prev_ckpt:
+            h.unpersist()
+        prev_ckpt = _jrdd_handles(spark, new_ids)
+    for h in prev_ckpt:
+        h.unpersist()
     return spark.createDataFrame(
         merges, "iter long, pair string, cnt long"
     )
@@ -2146,9 +2191,14 @@ def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
             f"b{it} AS (SELECT pair, c FROM p{it} "
             f"ORDER BY c DESC, pair ASC LIMIT 1)"
         )
+        # token-aware merge, identical to _bpe_apply_spark: widen
+        # separators, replace the boundary-delimited pattern, re-collapse
+        pat = f"(' ' || replace((SELECT pair FROM b{it}), ' ', '  ') || ' ')"
+        rep = f"(' ' || replace((SELECT pair FROM b{it}), ' ', '') || ' ')"
         parts.append(
-            f"s{it} AS (SELECT replace(seq, (SELECT pair FROM b{it}), "
-            f"replace((SELECT pair FROM b{it}), ' ', '')) AS seq FROM s{p})"
+            f"s{it} AS (SELECT trim(replace(replace("
+            f"' ' || replace(seq, ' ', '  ') || ' ', {pat}, {rep}), "
+            f"'  ', ' ')) AS seq FROM s{p})"
         )
         selects.append(f"SELECT {it} AS iter, pair, c AS cnt FROM b{it}")
     joined = ",\n".join(parts)
@@ -2363,7 +2413,9 @@ def tfidf_search_sql(
     terms: list[str] | None = None, k: int = SEARCH_TOPK
 ) -> str:
     terms = SEARCH_TERMS if terms is None else terms
-    lst = ", ".join(f"'{t}'" for t in terms)
+    # escape single quotes — a term like "it's" must not break (or invite
+    # injection into) the oracle string (round-4 ADVICE)
+    lst = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH tf AS (
   SELECT doc_id, tok, count(*)::BIGINT AS tf

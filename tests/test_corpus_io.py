@@ -95,3 +95,21 @@ def test_write_corpus_shards_partitions(spark, tmp_path):
     corpus_io.write_corpus_shards(d, path, shard_tokens=2000)
     b = _sorted_rows(spark.read.parquet(path).select("doc_id", "lang", "shard"))
     assert a == b
+
+
+def test_csv_roundtrip_with_embedded_newlines(spark, tmp_path):
+    """r4 ADVICE: write_documents quotes newline-bearing text correctly;
+    the reader must parse it back intact (multiLine), not misalign or
+    null it in PERMISSIVE mode."""
+    rows = [
+        (1, "line one\nline two", "en", "s0", 17),
+        (2, "plain", "en", "s0", 5),
+        (3, "a\n\nb, with, commas\nand \"quotes\"", "de", "s1", 31),
+    ]
+    d = spark.createDataFrame(rows, corpus_io.DOCUMENTS_SCHEMA)
+    path = str(tmp_path / "nl_csv")
+    corpus_io.write_documents(d, path, fmt="csv")
+    back = corpus_io.read_documents(spark, path, fmt="csv")
+    assert _sorted_rows(back) == _sorted_rows(d)
+    # no silent nulls anywhere
+    assert back.filter(F.col("text").isNull()).count() == 0

@@ -209,7 +209,23 @@ def test_bpe_merges_match_python_twin(spark, tmp_path):
         tuple(r) for r in bpe_merges(spark, str(tmp_path), n_merges=3).collect()
     )
 
-    # pure-python twin of the same greedy merge loop
+    # pure-python twin of the same TOKEN-AWARE greedy merge loop: the
+    # canonical fold over the symbol list (Sennrich's merge), so the
+    # Spark/DuckDB widened-separator replace is checked against an
+    # implementation that structurally CANNOT match across symbol
+    # boundaries (round-4 ADVICE: after 't h'->'th', pair 'h e' must not
+    # rewrite ['th','e'])
+    def fold_merge(toks: list[str], a: str, b: str) -> list[str]:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
     seqs = [" ".join(w) for t in texts for w in t.split(" ")]
     want = []
     for it in range(1, 4):
@@ -220,8 +236,49 @@ def test_bpe_merges_match_python_twin(spark, tmp_path):
                 counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
         pair = min(counts, key=lambda p: (-counts[p], p))
         want.append((it, pair, counts[pair]))
-        seqs = [s.replace(pair, pair.replace(" ", "")) for s in seqs]
+        a, b = pair.split(" ")
+        seqs = [" ".join(fold_merge(s.split(" "), a, b)) for s in seqs]
     assert got == sorted(want)
+
+
+def test_bpe_merge_is_token_aware_and_greedy():
+    """The widened-separator replace (shared by the Spark and DuckDB
+    engines) must equal the canonical list-fold merge on the tricky
+    shapes: cross-boundary candidates and overlapping chains."""
+
+    def padded_apply(s: str, pair: str) -> str:
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        padded = " " + s.replace(" ", "  ") + " "
+        return padded.replace(pat, rep).replace("  ", " ").strip()
+
+    def fold_merge(toks: list[str], a: str, b: str) -> list[str]:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    cases = [
+        ("th e", "h e"),      # ADVICE case: must stay ['th','e']
+        ("A B A B", "A B"),   # chain -> ['AB','AB']
+        ("A B A B A B", "A B"),
+        ("B B B", "B B"),     # self-pair greedy -> ['BB','B']
+        ("A A A A", "A A"),
+        ("t h e t h", "t h"),
+        ("th e re", "h e"),
+        ("x", "a b"),         # no-op on a single symbol
+    ]
+    for s, pair in cases:
+        a, b = pair.split(" ")
+        assert padded_apply(s, pair) == " ".join(fold_merge(s.split(" "), a, b)), (
+            s,
+            pair,
+        )
 
 
 def test_pq_recall_vs_exact_quantized_l2(spark):
@@ -332,3 +389,43 @@ def test_f7_formula_and_ordering(spark):
     # feedback is live: at least two distinct host-quality values among
     # selected hosts (the boost actually differentiates hosts)
     assert len({r["host_q_milli"] for r in rows}) > 1
+
+
+def test_tfidf_oracle_escapes_apostrophe_terms(spark):
+    """r4 ADVICE: a caller-supplied term containing a single quote must
+    not break (or inject into) the DuckDB oracle string."""
+    from spider_core_spark.textops.analysis import tfidf_search, tfidf_search_sql
+
+    terms = ["it's", "spark"]
+    sql = tfidf_search_sql(terms=terms)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    drows = sorted(tuple(map(str, r)) for r in con.execute(sql).fetchall())
+    srows = sorted(
+        tuple(map(str, r)) for r in tfidf_search(spark, SF, terms=terms).collect()
+    )
+    assert srows == drows
+
+
+def test_hll_pad_registers_gives_full_spine(spark):
+    """r4 ADVICE: collected streaming registers must be zero-padded to
+    HLL_M before hll_estimate (whose m = len(registers))."""
+    from spider_core_spark.plans.demo_queries import HLL_M, hll_estimate
+    from spider_core_spark.streaming.metrics_stream import (
+        hll_pad_registers,
+        hll_register_stream,
+    )
+
+    urls = spark.createDataFrame(
+        [(f"https://site{i % 7}.test/p/{i}",) for i in range(500)], "url string"
+    )
+    observed = hll_register_stream(urls).collect()
+    full = hll_pad_registers(observed)
+    assert len(full) == HLL_M
+    est_full = hll_estimate(full)
+    assert 500 * 0.7 <= est_full <= 500 * 1.3
+    # feeding the raw observed rows would use the wrong m — the helper is
+    # load-bearing, not cosmetic (only if some bucket went unobserved)
+    assert {int(r["bucket"]) for r in observed} <= set(range(HLL_M))
