@@ -412,28 +412,28 @@ def _pq_best(cents: dict[int, list[tuple[int, list[int]]]]) -> F.Column:
     return F.array_min(scored)
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spider_core_spark.textops.semantic import _QV_SPARK
-
-    e = (
-        _emb(spark, sf_dir)
-        .select("vec_id", "v")
-        .withColumn("qv", F.expr(_QV_SPARK))
-        .select("vec_id", "qv")
-    )
-    # long form: one row per (vec_id, subspace) — every training/encode
-    # pass below handles ALL M subspaces in one job
-    sub = e.select(
-        "vec_id",
+def _pq_subspaces(frame: DataFrame, vec_col: str, carry: list[str]) -> DataFrame:
+    """Long form: one row per (vec_id, subspace) with ``sv`` = the
+    subvector — every training/encode pass handles ALL M subspaces in
+    one job. ``carry`` columns ride along (e.g. the coarse cell id)."""
+    return frame.select(
+        *carry,
         F.posexplode(
             F.array(
                 *[
-                    F.slice("qv", m * PQ_SUB + 1, PQ_SUB)
+                    F.slice(vec_col, m * PQ_SUB + 1, PQ_SUB)
                     for m in range(PQ_M)
                 ]
             )
         ).alias("m", "sv"),
-    ).select("vec_id", F.col("m").cast("long").alias("m"), "sv")
+    ).select(*carry, F.col("m").cast("long").alias("m"), "sv")
+
+
+def _pq_train(sub: DataFrame) -> dict[int, list[tuple[int, list[int]]]]:
+    """Train the M per-subspace codebooks over a (vec_id, m, sv) frame:
+    deterministic seeds (vec_id < PQ_K) + PQ_ITERS exact integer-Lloyd
+    rounds (one combinable shuffle + one O(M·K·dim) collect per round —
+    the semantic.py contract, so the unrolled oracle matches bit-for-bit)."""
     seed_rows = (
         sub.filter(F.col("vec_id") < PQ_K)
         .orderBy("m", "vec_id")
@@ -468,6 +468,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         for m in cents:
             cents[m].sort()
+    return cents
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE ADC: every query scores ALL N codes — the compression
+    win (12 bits/vector) is real but the scan is still linear in N. The
+    sub-linear deployment recipe is ``ann_ivfpq_topk`` below (IVF coarse
+    cells prune the candidate set to ~nprobe/KC of the corpus, then the
+    same ADC machinery scores only the probed cells' codes)."""
+    from spider_core_spark.textops.semantic import _QV_SPARK
+
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v")
+        .withColumn("qv", F.expr(_QV_SPARK))
+        .select("vec_id", "qv")
+    )
+    sub = _pq_subspaces(e, "qv", ["vec_id"])
+    cents = _pq_train(sub)
     best = _pq_best(cents)
     codes = sub.select("vec_id", "m", best["cid"].alias("code"))
     q_rows = [
@@ -567,6 +586,220 @@ WITH {joined},
 scored AS (
   SELECT l.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS qdist
   FROM codes cd JOIN lut l USING (m, code)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, qdist,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY qdist ASC, vec_id ASC)::BIGINT AS rank
+FROM scored
+WHERE vec_id <> query_id
+QUALIFY rank <= {TOP_K}
+"""
+
+
+# ------------------------------------------- IVF + PQ composition (IVFADC)
+# The billion-scale ANN deployment recipe (Jégou, Douze & Schmid 2011,
+# §IV "IVFADC"): a coarse quantizer prunes the corpus to the query's
+# nprobe nearest cells, and PQ codes trained on the RESIDUAL (vector −
+# its coarse centroid) score only those cells' candidates via the ADC
+# lookup table. Composes the two oracled halves that already exist —
+# the IVF cell shape of ann_ivf_topk and the _pq_train/_pq_best ADC
+# machinery of ann_pq_topk — so a query touches ~nprobe/KC of the code
+# stream instead of all N (ann_pq_topk's exhaustive contract).
+#
+# All arithmetic after the one quantization step is exact int64
+# (coarse assign = integer squared-L2 argmin with cid tiebreak, residual
+# = integer subtraction, codebooks = integer-Lloyd, ADC = integer adds),
+# so the unrolled DuckDB oracle matches bit-for-bit.
+#
+# Scale (10^10 vectors): coarse assignment is a narrow broadcast-literal
+# map (zero shuffle); residual PQ training shuffles O(M·K·dim) rows per
+# round; the probe LUT is NQ·nprobe·M·K driver rows (broadcast); scoring
+# joins the LUT against only the probed cells' codes — partition the
+# code table by cid and the probe join prunes partitions.
+IVFPQ_KC = 8      # coarse cells (fixed oracle size; cells ≈ N/KC)
+IVFPQ_NPROBE = 2  # coarse cells probed per query
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    kc: int = IVFPQ_KC,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    from spider_core_spark.textops.semantic import _QV_SPARK, _best_centroid
+
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "v")
+        .withColumn("qv", F.expr(_QV_SPARK))
+        .select("vec_id", "qv")
+    )
+    # coarse codebook: deterministic seed centroids (the IVF operators'
+    # contract), tiny driver state KC×dim
+    coarse = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in e.filter(F.col("vec_id") < kc).orderBy("vec_id").collect()
+    ]
+    best_c = _best_centroid(coarse)
+    cvecs = F.array(
+        *[
+            F.array(*[F.lit(int(q)) for q in qc]).cast("array<bigint>")
+            for _, qc in coarse
+        ]
+    )
+    # narrow: assign cell + integer residual in one broadcast-literal map
+    asg = e.withColumn("cid", best_c["cid"]).withColumn(
+        "rv",
+        F.zip_with(
+            "qv",
+            F.element_at(cvecs, (F.col("cid") + 1).cast("int")),
+            lambda a, b: a - b,
+        ),
+    )
+    sub = _pq_subspaces(asg, "rv", ["vec_id", "cid"])
+    cents = _pq_train(sub.select("vec_id", "m", "sv"))
+    best = _pq_best(cents)
+    codes = sub.select("vec_id", "cid", "m", best["cid"].alias("code"))
+
+    # driver-side probes + residual ADC LUT (exact int; NQ·nprobe·M·K rows)
+    coarse_by_cid = dict(coarse)
+    q_rows = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in e.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    lut_rows = []
+    for qid, qv in q_rows:
+        by_dist = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, qc)), cid)
+            for cid, qc in coarse
+        )
+        for _, cid in by_dist[:nprobe]:
+            qres = [a - b for a, b in zip(qv, coarse_by_cid[cid])]
+            for m in range(PQ_M):
+                qsub = qres[m * PQ_SUB : (m + 1) * PQ_SUB]
+                for code, qc in cents[m]:
+                    d = sum((a - b) * (a - b) for a, b in zip(qsub, qc))
+                    lut_rows.append((qid, cid, m, int(code), int(d)))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, cid long, m long, code long, d long"
+    )
+    # the LUT join prunes to the probed cells — candidates ∝ nprobe/KC
+    scored = (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("qdist"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qdist", "rank")
+    )
+
+
+def ann_ivfpq_sql(kc: int = IVFPQ_KC, nprobe: int = IVFPQ_NPROBE) -> str:
+    from spider_core_spark.textops.semantic import _QV_DUCK
+
+    qd_full = (
+        "CAST(list_sum([(q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i]) "
+        "for i in range(1, len(q.qv) + 1)]) AS BIGINT)"
+    )
+    qd_sub = (
+        "CAST(list_sum([(q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]) "
+        f"for i in range(1, {PQ_SUB} + 1)]) AS BIGINT)"
+    )
+    parts = [
+        f"qq AS (SELECT vec_id, {_QV_DUCK} AS qv FROM embeddings)",
+        f"cc AS (SELECT vec_id AS ccid, qv AS cqv FROM qq WHERE vec_id < {kc})",
+        f"""asg AS (
+  SELECT vec_id, cid, rv FROM (
+    SELECT q.vec_id, c.ccid AS cid,
+           [q.qv[i] - c.cqv[i] for i in range(1, len(q.qv) + 1)] AS rv,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_full}, c.ccid) AS rn
+    FROM qq q CROSS JOIN cc c
+  ) WHERE rn = 1
+)""",
+        f"""probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.ccid AS cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_full}, c.ccid) AS rn
+    FROM qq q CROSS JOIN cc c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {nprobe}
+)""",
+        """qres AS (
+  SELECT p.query_id, p.cid,
+         [q.qv[i] - c.cqv[i] for i in range(1, len(q.qv) + 1)] AS rq
+  FROM probes p
+  JOIN qq q ON q.vec_id = p.query_id
+  JOIN cc c ON c.ccid = p.cid
+)""",
+    ]
+    code_union = []
+    lut_union = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        parts.append(
+            f"rm{m} AS (SELECT vec_id, cid, rv[{lo}:{hi}] AS qv FROM asg)"
+        )
+        parts.append(
+            f"pc0_{m} AS (SELECT vec_id AS cid, qv AS qc FROM rm{m} "
+            f"WHERE vec_id < {PQ_K})"
+        )
+        prev = f"pc0_{m}"
+        for i in range(PQ_ITERS):
+            parts.append(
+                f"""pa{i}_{m} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_sub}, c.cid) AS rn
+    FROM rm{m} q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+            )
+            parts.append(
+                f"""pc{i + 1}_{m} AS (
+  SELECT cid, list(mv ORDER BY idx) AS qc FROM (
+    SELECT cid, idx, (s - ((s % c + c) % c)) // c AS mv
+    FROM (SELECT cid, idx, CAST(sum(qe) AS BIGINT) AS s, count(*) AS c
+          FROM (SELECT cid, generate_subscripts(qv, 1) AS idx,
+                       unnest(qv) AS qe FROM pa{i}_{m})
+          GROUP BY cid, idx)
+  ) GROUP BY cid
+)"""
+            )
+            prev = f"pc{i + 1}_{m}"
+        parts.append(
+            f"""code{m} AS (
+  SELECT vec_id, cell, {m} AS m, cid AS code FROM (
+    SELECT q.vec_id, q.cid AS cell, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qd_sub}, c.cid) AS rn
+    FROM rm{m} q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        code_union.append(f"SELECT * FROM code{m}")
+        lut_union.append(
+            f"SELECT q.query_id, q.cid AS cell, {m} AS m, c.cid AS code, "
+            f"{qd_sub} AS d FROM "
+            f"(SELECT query_id, cid, rq[{lo}:{hi}] AS qv FROM qres) q "
+            f"CROSS JOIN {prev} c"
+        )
+    parts.append("codes AS (" + " UNION ALL ".join(code_union) + ")")
+    parts.append("lut AS (" + " UNION ALL ".join(lut_union) + ")")
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT l.query_id, cd.vec_id, CAST(sum(l.d) AS BIGINT) AS qdist
+  FROM codes cd JOIN lut l USING (cell, m, code)
   GROUP BY 1, 2
 )
 SELECT query_id, vec_id AS neighbor_id, qdist,

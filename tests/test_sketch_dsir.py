@@ -429,3 +429,53 @@ def test_hll_pad_registers_gives_full_spine(spark):
     # feeding the raw observed rows would use the wrong m — the helper is
     # load-bearing, not cosmetic (only if some bucket went unobserved)
     assert {int(r["bucket"]) for r in observed} <= set(range(HLL_M))
+
+
+def test_ivfpq_candidates_sublinear_and_from_probed_cells(spark):
+    """IVFADC contract: every returned neighbor lies in one of the query's
+    nprobe probed coarse cells, and the scored candidate count is
+    ~nprobe/KC of the corpus — the sub-linear property that makes the
+    composition the billion-scale recipe (ann_pq_topk is exhaustive)."""
+    from pyspark.sql import functions as F
+
+    from spider_core_spark.textops import similarity as ts
+    from spider_core_spark.textops.semantic import _QV_SPARK, _best_centroid
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("qv", F.expr(_QV_SPARK))
+    )
+    coarse = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in e.filter(F.col("vec_id") < ts.IVFPQ_KC).orderBy("vec_id").collect()
+    ]
+    cells = {
+        int(r["vec_id"]): int(r["cid"])
+        for r in e.withColumn("cid", _best_centroid(coarse)["cid"])
+        .select("vec_id", "cid")
+        .collect()
+    }
+    sizes: dict[int, int] = {}
+    for cid in cells.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    n = len(cells)
+
+    probed: dict[int, set[int]] = {}
+    cand = 0
+    for r in e.filter(F.col("vec_id") < ts.N_QUERIES).collect():
+        qv = [int(x) for x in r["qv"]]
+        by_d = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, qc)), cid)
+            for cid, qc in coarse
+        )
+        probed[int(r["vec_id"])] = {cid for _, cid in by_d[: ts.IVFPQ_NPROBE]}
+        cand += sum(sizes.get(cid, 0) for _, cid in by_d[: ts.IVFPQ_NPROBE])
+
+    rows = ts.ann_ivfpq_topk(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]], tuple(r)
+    # sub-linear: candidates ≈ nprobe/KC of Q·N (generous 60% ceiling
+    # tolerates skewed seed cells on the tiny fixture)
+    assert cand < 0.6 * ts.N_QUERIES * n
