@@ -3,10 +3,13 @@
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
 
 Headline queries = the operator suite over $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) plus a full BFS crawl over a cached synthetic site
-(crawl_urls_per_sec reported alongside). The two-parallelism scaling run
-(BASELINE.md gate) lives in BENCH/run_scaling.py and writes
-BENCH/BASELINE.md.
+/root/testdata/sf0.1) plus the crawl benches: a full BFS crawl over a
+cached synthetic site and the 1.5M-URL steady-state scale wave, BOTH run
+as taskset-pinned cold subprocesses with ≥3 interleaved trials — medians
+and per-trial lists land in the artifact so round-over-round comparisons
+are regression-detectable under co-tenant ambient noise (r4 verdict
+#3/#4). The two-parallelism scaling run (BASELINE.md gate) lives in
+BENCH/run_scaling.py and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -80,6 +83,64 @@ def ensure_crawl_fixture(spark) -> str:
     return site
 
 
+def run_corpus_e2e(spark) -> float:
+    """prep → token-balanced shard WRITE on the BIG prefix-sum path
+    (small_threshold=0, the 100-TB code path) with a small-path shard-
+    membership equality assertion — the in-the-wild check that would have
+    caught round 4's premature-release hazard (r4 verdict #6). Timed
+    component = the big-path write."""
+    from pyspark.sql import functions as F  # noqa: F401  (plan exprs)
+
+    from spider_core_spark.sources import corpus_io
+    from spider_core_spark.textops import analysis as ta
+    from spider_core_spark.textops import dedup as td
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    keep = (
+        ta.corpus_keepers_neardup(spark, SF_DIR)
+        .select("doc_id")
+        .join(
+            ta.gopher_rules(spark, SF_DIR).filter("keep").select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            ta.quality_classifier(spark, SF_DIR)
+            .filter("keep")
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+    # land the prep output first: the keepers_neardup frame reads staged
+    # caches (labels + checkpoint) that must be drained before the shard
+    # writes re-scan the input twice
+    d.join(keep, "doc_id").write.mode("overwrite").parquet(
+        f"{CACHE}/e2e_docs"
+    )
+    td.release_staged_caches()
+    docs = spark.read.parquet(f"{CACHE}/e2e_docs")
+    t0 = time.monotonic()
+    corpus_io.write_corpus_shards(
+        docs, f"{CACHE}/e2e_shards_big", shard_tokens=4096, small_threshold=0
+    )
+    wall = round(time.monotonic() - t0, 3)
+    corpus_io.write_corpus_shards(
+        docs, f"{CACHE}/e2e_shards_small", shard_tokens=4096
+    )
+    td.release_staged_caches()
+    big = spark.read.parquet(f"{CACHE}/e2e_shards_big").select(
+        "doc_id", "lang", "shard"
+    )
+    small = spark.read.parquet(f"{CACHE}/e2e_shards_small").select(
+        "doc_id", "lang", "shard"
+    )
+    if big.exceptAll(small).count() or small.exceptAll(big).count():
+        raise AssertionError(
+            "corpus_e2e_shards: big-path shard membership diverged from "
+            "the small-path run"
+        )
+    return wall
+
+
 def run_crawl(spark) -> tuple[float, float, int]:
     """Full BFS crawl (ordering + politeness + dedup live) over the cached
     site; returns (wall_s, urls_per_sec, fetched)."""
@@ -108,94 +169,130 @@ def run_crawl(spark) -> tuple[float, float, int]:
     return round(wall, 3), round(fetched / wall, 1), fetched
 
 
-def run_scale_wave() -> dict | None:
-    """Scale-path bench (r2 VERDICT #5): one steady-state epoch over a
+def _pin_prefix() -> list[str]:
+    # taskset-pin the worker tree to exactly CPUS cores (the gate
+    # protocol, r3 VERDICT #6): unpinned trials wander the whole socket
+    # and co-tenant steal makes best-of-2 spread 12.6k-36.7k urls/s
+    import shutil
+
+    return ["taskset", "-c", f"0-{CPUS - 1}"] if shutil.which("taskset") else []
+
+
+def _run_trial(cmd: list[str], timeout: int = 1800) -> dict | None:
+    """One pinned subprocess trial; returns its one-line JSON or None."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            _pin_prefix() + cmd, capture_output=True, text=True, timeout=timeout
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
+def run_bfs_trial() -> None:
+    """Subprocess body for one pinned crawl_bfs trial (--bfs-trial):
+    fixture generation happens before the clock starts."""
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    wall, ups, fetched = run_crawl(spark)
+    spark.stop()
+    print(json.dumps({"wall_s": wall, "urls_per_sec": ups, "fetched": fetched}))
+
+
+def run_crawl_benches() -> tuple[dict | None, dict | None]:
+    """Crawl-side benches, regression-detectable (r4 verdict #3/#4): BOTH
+    the multi-epoch BFS crawl and the steady-state scale wave run as
+    taskset-pinned cold subprocesses, ≥3 trials each, INTERLEAVED
+    (bfs, scale, bfs, scale, …) so the two series sample the same ambient
+    window; the artifact carries medians plus every trial, so BENCH_rN vs
+    rN-1 compares medians-with-spread instead of a single ambient draw.
+
+    The scale wave (r2 VERDICT #5) is one steady-state epoch over a
     frontier BIGGER than broadcast_wave_max (1M → shuffle-join fetch) and
     the two-phase-rank SMALL_THRESHOLD (1M → distributed rank) at DEFAULT
-    engine thresholds, so the 100×-critical code paths carry a measured
-    number, not just unit tests. Runs in a fresh subprocess (own JVM with
-    the steady-state tuning). SPIDER_BENCH_SCALE_PAGES=0 skips."""
-    import shutil
+    engine thresholds. SPIDER_BENCH_SCALE_PAGES=0 skips it.
+
+    Cumulative budget: on bad-ambient days (BENCH/BASELINE.md round-4
+    control: same-binary trials span 3.5k-13.3k urls/s as co-tenant IO
+    swings) a trial can take many minutes — once the budget is spent and
+    at least one trial of each kind landed, stop launching new ones so
+    the round artifact always lands."""
     import statistics
-    import subprocess
 
     n = int(os.environ.get("SPIDER_BENCH_SCALE_PAGES", "1500000"))
     trials = int(os.environ.get("SPIDER_BENCH_SCALE_TRIALS", "3"))
-    if n <= 0:
-        return None
-    worker = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_worker.py"
-    )
-    # taskset-pin the worker tree to exactly CPUS cores (the gate
-    # protocol, r3 VERDICT #6): unpinned trials wander the whole socket
-    # and co-tenant steal makes best-of-2 spread 12.6k-36.7k urls/s —
-    # pinned median-of-3 is regression-detectable
-    pin = (
-        ["taskset", "-c", f"0-{CPUS - 1}"] if shutil.which("taskset") else []
-    )
-    # cumulative budget: on bad-ambient days (BENCH/BASELINE.md round-4
-    # control: same-binary trials span 3.5k-13.3k urls/s as co-tenant IO
-    # swings) a full trial can take many minutes — stop launching new
-    # trials once the budget is spent so the round artifact always lands,
-    # with however many trials completed
-    budget_s = float(os.environ.get("SPIDER_BENCH_SCALE_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("SPIDER_BENCH_SCALE_BUDGET_S", "1500"))
+    me = os.path.abspath(__file__)
+    worker = os.path.join(os.path.dirname(me), "BENCH", "scaling_worker.py")
     t_start = time.monotonic()
-    results = []
+    bfs_results: list[dict] = []
+    scale_results: list[dict] = []
     for _ in range(trials):
-        if results and time.monotonic() - t_start > budget_s:
+        done_one_each = bfs_results and (scale_results or n <= 0)
+        if done_one_each and time.monotonic() - t_start > budget_s:
             break
-        try:
-            p = subprocess.run(
-                pin + [sys.executable, worker, str(CPUS), str(n), "5", "steady"],
-                capture_output=True,
-                text=True,
-                timeout=1800,
+        r = _run_trial([sys.executable, me, "--bfs-trial"])
+        if r:
+            bfs_results.append(r)
+        if n > 0:
+            r = _run_trial(
+                [sys.executable, worker, str(CPUS), str(n), "5", "steady"]
             )
-            for line in reversed(p.stdout.strip().splitlines()):
-                if line.startswith("{"):
-                    results.append(json.loads(line))
-                    break
-        except Exception:
-            pass
-    if not results:
-        return None
-    ranked = sorted(results, key=lambda r: r["urls_per_sec"])
-    med = ranked[len(ranked) // 2]  # median trial (by throughput)
-    med["all_trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
-    med["urls_per_sec_median"] = statistics.median(
-        r["urls_per_sec"] for r in results
-    )
-    return med
+            if r:
+                scale_results.append(r)
+
+    def _summarize(results: list[dict]) -> dict | None:
+        if not results:
+            return None
+        med = sorted(results, key=lambda r: r["urls_per_sec"])[len(results) // 2]
+        med = dict(med)
+        med["all_trials_urls_per_sec"] = [r["urls_per_sec"] for r in results]
+        med["all_trials_wall_s"] = [r["wall_s"] for r in results]
+        med["urls_per_sec_median"] = statistics.median(
+            r["urls_per_sec"] for r in results
+        )
+        med["wall_s_median"] = statistics.median(r["wall_s"] for r in results)
+        return med
+
+    return _summarize(bfs_results), _summarize(scale_results)
 
 
 def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     queries = run_queries(spark)
-    crawl_wall, urls_per_sec, fetched = run_crawl(spark)
-    queries["crawl_bfs"] = crawl_wall
-    spark.stop()  # free the JVM before the scale-wave subprocess
-    scale = run_scale_wave()
+    queries["corpus_e2e_shards"] = run_corpus_e2e(spark)
+    spark.stop()  # free the JVM before the pinned crawl subprocesses
+    bfs, scale = run_crawl_benches()
     result = {
         "metric": "suite_wall",
         "value": 0.0,
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "crawl_urls_per_sec": urls_per_sec,
-        "crawl_fetched": fetched,
         "cpus": CPUS,
     }
+    if bfs is not None:
+        queries["crawl_bfs"] = bfs["wall_s_median"]
+        result["crawl_urls_per_sec"] = bfs["urls_per_sec_median"]
+        result["crawl_fetched"] = bfs["fetched"]
+        result["crawl_bfs_trials"] = bfs["all_trials_urls_per_sec"]
     if scale is not None:
-        queries["crawl_scale_wave"] = scale["wall_s"]
+        queries["crawl_scale_wave"] = scale["wall_s_median"]
         result["scale_wave_urls_per_sec"] = scale["urls_per_sec_median"]
         result["scale_wave_frontier"] = scale["n_pages"]
-        result["scale_wave_trials"] = scale.get(
-            "all_trials_urls_per_sec", [scale["urls_per_sec"]]
-        )
+        result["scale_wave_trials"] = scale["all_trials_urls_per_sec"]
     result["value"] = round(sum(queries.values()), 3)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--bfs-trial" in sys.argv:
+        run_bfs_trial()
+    else:
+        main()
