@@ -98,6 +98,7 @@ _GATE_FRONT = [
     "text_split_leakage",
     "text_sample_fixed_n",
     "text_bpe_merges",
+    "text_bpe_encode",
 ]
 
 
@@ -211,6 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split_leakage": ta.split_leakage,
         "text_sample_fixed_n": ta.corpus_sample_fixed_n,
         "text_bpe_merges": ta.bpe_merges,
+        # apply the learned merges: per-doc token counts under the
+        # trained subword vocabulary (one narrow pass + combinable agg)
+        "text_bpe_encode": ta.bpe_encode,
         "ann_int8_topk": ts.ann_int8_topk,
         "ann_pq_topk": ts.ann_pq_topk,
         # IVFADC composition (coarse cells + residual-PQ ADC over only
@@ -320,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "text_split_leakage": ta.split_leakage_sql(),
         "text_sample_fixed_n": ta.corpus_sample_fixed_n_sql(),
         "text_bpe_merges": ta.bpe_merges_sql(),
+        "text_bpe_encode": ta.bpe_encode_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "ann_pq_topk": ts.ann_pq_sql(),
         "ann_ivfpq_topk": ts.ann_ivfpq_sql(),

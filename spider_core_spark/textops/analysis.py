@@ -2167,7 +2167,10 @@ def bpe_merges(
     )
 
 
-def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_train_ctes(n_merges: int) -> tuple[list[str], list[str]]:
+    """Shared oracle CTE chain (w0, s0, p{i}, b{i}, s{i}): the b{i}
+    scalar-subquery tables ARE the learned merge table; returns
+    (cte_parts, per-iteration merge-row selects)."""
     chars = (
         "array_to_string([w[i:i] for i in range(1, len(w) + 1)], ' ')"
     )
@@ -2201,8 +2204,90 @@ def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
             f"'  ', ' ')) AS seq FROM s{p})"
         )
         selects.append(f"SELECT {it} AS iter, pair, c AS cnt FROM b{it}")
+    return parts, selects
+
+
+def bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    parts, selects = _bpe_train_ctes(n_merges)
     joined = ",\n".join(parts)
     return f"WITH {joined}\n" + " UNION ALL ".join(selects)
+
+
+# --------------------------------------------------- BPE application
+# The other half of tokenizer training: APPLY the learned merge table to
+# the corpus and report the per-document token count under the learned
+# vocabulary — the number a data-mixture/packing plan actually budgets
+# with (whitespace counts over-estimate by the subword factor). Training
+# (bpe_merges) is the sequential part; application is embarrassingly
+# parallel: ONE narrow corpus pass with the n_merges token-aware
+# replaces stacked as expressions — no iteration, no shuffle until the
+# final combinable groupBy(doc_id).
+#
+# Scale contract: stacked replace expressions are the DECLARATIVE,
+# oracle-certifiable form and are practical to a few hundred merges; a
+# production 30k-merge vocabulary applies the same learned table inside
+# an Arrow-batched pandas UDF (plain dict-loop tokenizer) — semantics
+# certified here, transport swapped. Empty words (split artifacts of
+# repeated spaces) are excluded identically in both engines.
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    merges = [
+        r["pair"]
+        for r in bpe_merges(spark, sf_dir, n_merges=n_merges)
+        .orderBy("iter")
+        .collect()
+    ]
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    seq = F.expr(_bpe_chars_spark("w"))
+    for pair in merges:  # stacked narrow expressions, one pass
+        seq = _bpe_apply_spark(seq, pair)
+    return (
+        words.select("doc_id", F.size(F.split(seq, " ")).alias("n_sym"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
+    """Reuses the training CTE chain (b1..bN scalar subqueries are the
+    SAME learned merge table the Spark side collected), then applies the
+    identical token-aware stacked replaces per (doc_id, word)."""
+    parts, _ = _bpe_train_ctes(n_merges)
+    chars = "array_to_string([w[i:i] for i in range(1, len(w) + 1)], ' ')"
+    parts = parts + [
+        (
+            "dw0 AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE w <> '')"
+        ),
+        f"ds0 AS (SELECT doc_id, {chars} AS seq FROM dw0)",
+    ]
+    for it in range(1, n_merges + 1):
+        pat = f"(' ' || replace((SELECT pair FROM b{it}), ' ', '  ') || ' ')"
+        rep = f"(' ' || replace((SELECT pair FROM b{it}), ' ', '') || ' ')"
+        parts.append(
+            f"ds{it} AS (SELECT doc_id, trim(replace(replace("
+            f"' ' || replace(seq, ' ', '  ') || ' ', {pat}, {rep}), "
+            f"'  ', ' ')) AS seq FROM ds{it - 1})"
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {joined}
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(len(string_split(seq, ' ')))::BIGINT AS n_bpe_tokens
+FROM ds{n_merges}
+GROUP BY doc_id
+"""
 
 
 # ------------------------------------------- fixed-N stratified sampling

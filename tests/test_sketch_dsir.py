@@ -479,3 +479,60 @@ def test_ivfpq_candidates_sublinear_and_from_probed_cells(spark):
     # sub-linear: candidates ≈ nprobe/KC of Q·N (generous 60% ceiling
     # tolerates skewed seed cells on the tiny fixture)
     assert cand < 0.6 * ts.N_QUERIES * n
+
+
+def test_bpe_encode_matches_python_twin(spark, tmp_path):
+    """Applying the learned merges must reproduce the fold-merge token
+    counts per document (the n_bpe_tokens a packing plan budgets with)."""
+    from spider_core_spark.textops.analysis import bpe_encode, bpe_merges
+
+    texts = [
+        "the then there that other mother",
+        "in inner thin string ring bring",
+        "the other string in the ring",
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    merges = [
+        r["pair"]
+        for r in bpe_merges(spark, str(tmp_path), n_merges=3)
+        .orderBy("iter")
+        .collect()
+    ]
+
+    def fold_merge(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    want = {}
+    for did, t in enumerate(texts):
+        n_words, n_tok = 0, 0
+        for w in t.split(" "):
+            if not w:
+                continue
+            toks = list(w)
+            for pair in merges:
+                a, b = pair.split(" ")
+                toks = fold_merge(toks, a, b)
+            n_words += 1
+            n_tok += len(toks)
+        want[did] = (n_words, n_tok)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(spark, str(tmp_path), n_merges=3).collect()
+    }
+    assert got == want
+    # merges actually compress: fewer tokens than characters
+    total_chars = sum(len(w) for t in texts for w in t.split(" "))
+    assert sum(v[1] for v in got.values()) < total_chars
