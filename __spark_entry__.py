@@ -58,6 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "u5_cuckoo_membership",
+    "text_mixture_sample",
     "ann_ivfpq_topk",
     "ann_ivf_topk",
     "ann_int8_topk",
@@ -134,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_blocklist_filter": dq.p7_blocklist_filter,
         "u3_hll_registers": dq.u3_hll_registers,
         "u4_bloom_membership": dq.u4_bloom_membership,
+        # deletable cuckoo seen-tier (recrawl eviction), relationally
+        # certified via placement independence — see operators/cuckoo.py
+        "u5_cuckoo_membership": dq.u5_cuckoo_membership,
         "f7_quality_priority": dq.f7_quality_priority,
         "f8_trap_detect": dq.f8_trap_detect,
         "a1_counters": dq.a1_counters,
@@ -211,6 +216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_search": ta.tfidf_search,
         "text_split_leakage": ta.split_leakage,
         "text_sample_fixed_n": ta.corpus_sample_fixed_n,
+        # token-budget mixture rebalancing (per-language permille weights)
+        # on the grouped prefix-sum machinery
+        "text_mixture_sample": ta.mixture_sample,
         "text_bpe_merges": ta.bpe_merges,
         # apply the learned merges: per-doc token counts under the
         # trained subword vocabulary (one narrow pass + combinable agg)
@@ -260,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "p7_blocklist_filter": dq.P7_SQL,
         "u3_hll_registers": dq.U3_SQL,
         "u4_bloom_membership": dq.U4_SQL,
+        "u5_cuckoo_membership": dq.U5_SQL,
         "f7_quality_priority": dq.F7_SQL,
         "f8_trap_detect": dq.F8_SQL,
         "a1_counters": dq.A1_SQL,
@@ -323,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_search": ta.tfidf_search_sql(),
         "text_split_leakage": ta.split_leakage_sql(),
         "text_sample_fixed_n": ta.corpus_sample_fixed_n_sql(),
+        "text_mixture_sample": ta.mixture_sample_sql(),
         "text_bpe_merges": ta.bpe_merges_sql(),
         "text_bpe_encode": ta.bpe_encode_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,

@@ -1656,3 +1656,132 @@ SELECT host, n_urls,
         OR (1000 * _sd) // n_urls >= {TRAP_DEPTH_MILLI}) AS is_trap
 FROM agg
 """
+
+
+# --- U5: cuckoo-filter membership under deletion -------------------------------
+# Relational certification of the cuckoo seen-tier (operators/cuckoo.py;
+# Fan et al. 2014): by placement independence (module docstring there),
+# probe(x) hits iff an ALIVE entry shares x's (canonical bucket pair,
+# tag), where alive = multiset inserts − deletes. That is a groupBy +
+# equi-join in both engines — the relational twin of the numpy filter,
+# exactly the u4 pattern for the Bloom tier. Deletion is the point: the
+# fixture deletes a subset of inserted URLs (recrawl eviction) and the
+# output certifies (a) deleted keys no longer hit, (b) alive keys are
+# NEVER missed (no false negatives — `missed` must be all-false), and
+# (c) the residual false-positive set is exactly the tag+pair collision
+# set, which the oracle reproduces bit-for-bit.
+# power of 2 (XOR alt-bucket stays in range). Deliberately SMALL for the
+# registered fixture so the tag+pair collision branch (false_positive)
+# carries real rows at the driver's sf0.01 (~13 expected FPs at 64
+# buckets) instead of hash-matching vacuously — the r3 lesson. The
+# relational form has no capacity limit; production sizing lives in
+# operators/cuckoo.buckets_for.
+CUCKOO_Q_BUCKETS = 64
+
+
+def u5_cuckoo_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.operators.cuckoo import (
+        cuckoo_alt_col,
+        cuckoo_bucket_col,
+        cuckoo_tag_col,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.sha2(
+            F.concat(
+                F.lit("http://h"),
+                (F.col("o_custkey") % 50).cast("string"),
+                F.lit(".test/o"),
+                F.col("o_orderkey").cast("string"),
+            ),
+            256,
+        ).alias("fp"),
+        (F.col("o_orderkey") % 3 != 2).alias("inserted"),
+        (F.col("o_orderkey") % 6 == 0).alias("deleted"),  # ⊂ inserted
+    )
+    i1 = cuckoo_bucket_col(F.col("fp"), CUCKOO_Q_BUCKETS)
+    tag = cuckoo_tag_col(F.col("fp"))
+    i2 = cuckoo_alt_col(i1, tag, CUCKOO_Q_BUCKETS)
+    keyed = base.select(
+        "o_orderkey",
+        "inserted",
+        "deleted",
+        F.least(i1, i2).alias("pmin"),
+        tag.alias("tag"),
+    )
+    alive = (
+        keyed.filter("inserted")
+        .groupBy("pmin", "tag")
+        .agg(
+            (
+                F.count("*") - F.sum(F.col("deleted").cast("long"))
+            ).alias("_alive")
+        )
+        .filter(F.col("_alive") > 0)
+        .select("pmin", "tag", F.lit(True).alias("_hit"))
+    )
+    return (
+        keyed.join(alive, ["pmin", "tag"], "left")
+        .select(
+            "o_orderkey",
+            "inserted",
+            "deleted",
+            F.coalesce("_hit", F.lit(False)).alias("cuckoo_hit"),
+            (
+                F.coalesce("_hit", F.lit(False))
+                & ~(F.col("inserted") & ~F.col("deleted"))
+            ).alias("false_positive"),
+            (
+                ~F.coalesce("_hit", F.lit(False))
+                & (F.col("inserted") & ~F.col("deleted"))
+            ).alias("missed"),
+        )
+    )
+
+
+def _u5_sql() -> str:
+    from spider_core_spark.operators.cuckoo import (
+        cuckoo_alt_duckdb,
+        cuckoo_bucket_duckdb,
+        cuckoo_tag_duckdb,
+    )
+
+    i1 = cuckoo_bucket_duckdb("fp", CUCKOO_Q_BUCKETS)
+    tag = cuckoo_tag_duckdb("fp")
+    i2 = cuckoo_alt_duckdb("i1", "tag", CUCKOO_Q_BUCKETS)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey,
+         sha256('http://h' || (o_custkey % 50) || '.test/o' || o_orderkey)
+           AS fp,
+         (o_orderkey % 3 <> 2) AS inserted,
+         (o_orderkey % 6 = 0) AS deleted
+  FROM orders
+), keyed AS (
+  SELECT o_orderkey, inserted, deleted,
+         least(i1, {i2}) AS pmin, tag
+  FROM (
+    SELECT o_orderkey, inserted, deleted,
+           {i1} AS i1, {tag} AS tag
+    FROM base
+  )
+), alive AS (
+  SELECT pmin, tag
+  FROM keyed
+  WHERE inserted
+  GROUP BY pmin, tag
+  HAVING count(*) - sum(CASE WHEN deleted THEN 1 ELSE 0 END) > 0
+)
+SELECT k.o_orderkey, k.inserted, k.deleted,
+       (a.pmin IS NOT NULL) AS cuckoo_hit,
+       ((a.pmin IS NOT NULL) AND NOT (k.inserted AND NOT k.deleted))
+         AS false_positive,
+       ((a.pmin IS NULL) AND (k.inserted AND NOT k.deleted)) AS missed
+FROM keyed k
+LEFT JOIN alive a ON a.pmin = k.pmin AND a.tag = k.tag
+"""
+
+
+U5_SQL = _u5_sql()

@@ -2592,3 +2592,103 @@ FROM cum CROSS JOIN pcts
 WHERE cum * 100 >= pct * n_docs
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ token-budget mixture sampler
+# Training-mixture rebalancing: given target per-language sampling weights
+# (the Pile / DoReMi-style domain-mix knob, public protocol), keep a
+# deterministic hash-ordered subset of each language whose token mass
+# fills floor(weight_permille · lang_total_tokens / 1000) — i.e. "take
+# the first docs in hash order until the language's token budget is
+# full" (strict take-while: the straddling doc is dropped, so the kept
+# mass never overshoots).
+#
+# Scale: pass 1 is one combinable groupBy(lang) token-mass aggregate
+# (|langs| rows, collected — the source_mix driver-table pattern); pass 2
+# attaches the budget via a broadcast literal and rides the grouped
+# prefix-sum operator, so per-language cumulative token counts use the
+# two-phase range-partition machinery, never a whole-language window.
+# Integer-exact end-to-end (token counts and budgets are int64; the
+# permille weights avoid FP), so Spark ≡ DuckDB bit-for-bit.
+MIXTURE_SEED = 101
+MIXTURE_PERMILLE = {"en": 250, "zh": 500, "es": 750, "de": 400, "fr": 600}
+MIXTURE_DEFAULT_PERMILLE = 0  # unlisted languages are excluded
+
+
+def mixture_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    permille: dict[str, int] | None = None,
+    small_threshold: int | None = None,
+) -> DataFrame:
+    from spider_core_spark.operators.prefix import with_group_prefix_sum
+    from spider_core_spark.textops.dedup import _h64_spark, stage_handle
+
+    pm = MIXTURE_PERMILLE if permille is None else permille
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+        F.expr(_h64_spark("cast(doc_id as string)", MIXTURE_SEED)).alias("_hk"),
+    )
+    # pass 1: per-language token mass → |langs|-row driver table of
+    # integer budgets (floor division keeps both engines bit-identical)
+    rows = (
+        d.groupBy("lang").agg(F.sum("tokens").cast("long").alias("_m")).collect()
+    )
+    budgets = [
+        (
+            r["lang"],
+            int(r["_m"]) * pm.get(r["lang"], MIXTURE_DEFAULT_PERMILLE) // 1000,
+        )
+        for r in rows
+    ]
+    bdf = spark.createDataFrame(budgets, "lang string, budget_tokens long")
+    kwargs = {}
+    if small_threshold is not None:
+        kwargs["small_threshold"] = small_threshold
+    out, release = with_group_prefix_sum(
+        d, ["lang"], ["_hk", "doc_id"], "tokens", "_ps", **kwargs
+    )
+    result = (
+        out.join(F.broadcast(bdf), "lang")
+        .withColumn("cum_tokens", (F.col("_ps") + F.col("tokens")).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .select("doc_id", "lang", "tokens", "cum_tokens", "budget_tokens")
+    )
+    # staged-cache contract: release after the caller's terminal action
+    stage_handle(release)
+    return result
+
+
+def mixture_sample_sql(permille: dict[str, int] | None = None) -> str:
+    from spider_core_spark.functions.hashing import h64_duckdb
+
+    pm = MIXTURE_PERMILLE if permille is None else permille
+    h = h64_duckdb("cast(doc_id as varchar)", seed=MIXTURE_SEED)
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(pm.items()))
+        + f" ELSE {MIXTURE_DEFAULT_PERMILLE} END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS tokens,
+         {h} AS hk
+  FROM documents
+), budget AS (
+  SELECT lang, (sum(tokens) * ({case})) // 1000 AS budget_tokens
+  FROM tok GROUP BY lang
+)
+SELECT doc_id, lang, tokens, cum_tokens, budget_tokens FROM (
+  SELECT t.doc_id, t.lang, t.tokens,
+         sum(t.tokens) OVER (
+           PARTITION BY t.lang ORDER BY t.hk, t.doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_tokens,
+         b.budget_tokens::BIGINT AS budget_tokens
+  FROM tok t JOIN budget b USING (lang)
+)
+WHERE cum_tokens <= budget_tokens
+"""
