@@ -264,3 +264,54 @@ def cuckoo_prefilter(
             cuckoo_tag_col(fp),
         ),
     )
+
+
+def merge_cuckoo_shards(
+    base: dict[int, bytes],
+    delta: DataFrame,
+    n_shards: int,
+    n_buckets: int,
+) -> dict[int, bytes]:
+    """Insert an epoch's new fingerprints into the existing shard tables —
+    the cuckoo analog of dedup.merge_bloom_shards (Bloom shards OR
+    together; cuckoo placement is stateful, so the delta is INSERTED into
+    the prior table instead). Distributed: groupBy(shard).applyInPandas,
+    prior tables re-enter via broadcast; shards with no delta rows keep
+    their table unchanged. Overflow refuses loudly (resize n_buckets —
+    the sizing knob is CrawlConfig.cuckoo_buckets / bloom_expected_seen).
+    """
+    from spider_core_spark.operators.dedup import shard_col
+
+    spark = delta.sparkSession
+    bc = spark.sparkContext.broadcast(base)
+
+    def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["shard"].iloc[0])
+        prior = bc.value.get(s)
+        table = (
+            np.frombuffer(prior, dtype=np.uint16)
+            .reshape(n_buckets, SLOTS)
+            .copy()
+            if prior is not None
+            else np.zeros((n_buckets, SLOTS), dtype=np.uint16)
+        )
+        pdf = pdf.sort_values("rid")
+        for i1, tag in zip(pdf["i1"].to_numpy(), pdf["tag"].to_numpy()):
+            _insert_one(table, int(i1), int(tag), n_buckets)
+        return pd.DataFrame({"shard": [s], "tags": [table.tobytes()]})
+
+    fp = F.col(delta.columns[0])
+    tagged = delta.select(
+        shard_col(fp, n_shards).cast("long").alias("shard"),
+        cuckoo_bucket_col(fp, n_buckets).alias("i1"),
+        cuckoo_tag_col(fp).alias("tag"),
+        F.monotonically_increasing_id().alias("rid"),
+    )
+    rows = (
+        tagged.groupBy("shard")
+        .applyInPandas(upd, schema="shard long, tags binary")
+        .collect()
+    )
+    out = dict(base)
+    out.update({int(r["shard"]): bytes(r["tags"]) for r in rows})
+    return out

@@ -170,14 +170,28 @@ def dedup_against_seen(
     n_shards: int,
     n_bits: int,
     n_hashes: int,
+    filter_kind: str = "bloom",
+    cuckoo_buckets: int = 0,
 ) -> DataFrame:
     """Enqueue-time dedup (reference should_enqueue_request,
     src/scheduler.rs:392-431): keep only candidates whose fingerprint is
-    not in `seen`. With Bloom, only `maybe_seen` rows pay the anti-join
-    shuffle; definite-negatives are unioned back join-free.
+    not in `seen`. With an approximate tier (`filter_kind` = "bloom" or
+    "cuckoo" — operators/cuckoo.py's deletable filter), only `maybe_seen`
+    rows pay the anti-join shuffle; definite-negatives are unioned back
+    join-free. Either tier is a PREFILTER: correctness comes from the
+    exact anti-join alone.
     """
     if use_bloom and blooms is not None:
-        tagged = bloom_prefilter(candidates, blooms, n_shards, n_bits, n_hashes)
+        if filter_kind == "cuckoo":
+            from spider_core_spark.operators.cuckoo import cuckoo_prefilter
+
+            tagged = cuckoo_prefilter(
+                candidates, blooms, n_shards, cuckoo_buckets
+            ).withColumnRenamed("cuckoo_maybe_seen", "maybe_seen")
+        else:
+            tagged = bloom_prefilter(
+                candidates, blooms, n_shards, n_bits, n_hashes
+            )
         fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         survivors = maybe.join(

@@ -56,6 +56,19 @@ class CrawlConfig:
     # pays off once `seen` is large enough that most candidates would
     # otherwise shuffle into the join
     bloom_min_seen: int = 1
+    # which approximate seen tier fronts the exact anti-join (active only
+    # when use_bloom=True): "bloom" (default — OR-mergeable bitsets) or
+    # "cuckoo" (operators/cuckoo.py — deletable, no false negatives even
+    # after recrawl eviction; per-epoch deltas INSERT into the prior shard
+    # tables distributed instead of OR-merging). Either way the tier is a
+    # prefilter: dedup correctness always comes from the exact anti-join.
+    seen_filter: str = "bloom"
+    # cuckoo sizing: buckets per shard (power of 2). None derives it from
+    # bloom_expected_seen via operators/cuckoo.buckets_for at 0.8 load
+    # (headroom: the filter REFUSES past ~0.95), falling back to 1 << 16
+    # (~235k keys/shard at 0.9). Same loud broadcast-budget check as the
+    # Bloom tier.
+    cuckoo_buckets: int | None = None
 
     # checkpointing (reference periodic checkpoint task,
     # src/crawler/core.rs:212-258): snapshot every k epochs; final always

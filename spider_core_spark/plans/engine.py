@@ -36,6 +36,7 @@ from spider_core_spark.api.pipeline import Pipeline, run_pipelines
 from spider_core_spark.api.spider import Spider
 from spider_core_spark.errors import SpiderError
 from spider_core_spark.functions import url as urlfn
+from spider_core_spark.operators import cuckoo as cuckoo_ops
 from spider_core_spark.operators import dedup as dedup_ops
 from spider_core_spark.operators import frontier as frontier_ops
 from spider_core_spark.operators import parse as parse_ops
@@ -271,7 +272,34 @@ class CrawlEngine:
         # undersized Bloom degrades to all-maybe, an oversized one OOMs the
         # executors, and both should fail loudly at startup instead
         bloom_bits = cfg.bloom_bits
-        if cfg.use_bloom:
+        cuckoo_nb = 0
+        if cfg.use_bloom and cfg.seen_filter == "cuckoo":
+            # deletable cuckoo tier (operators/cuckoo.py): size buckets per
+            # shard at 0.8 load headroom (the filter REFUSES past ~0.95)
+            if cfg.cuckoo_buckets is not None:
+                cuckoo_nb = cfg.cuckoo_buckets
+            elif cfg.bloom_expected_seen:
+                cuckoo_nb = cuckoo_ops.buckets_for(
+                    cfg.bloom_expected_seen, cfg.n_shards, load=0.8
+                )
+            else:
+                cuckoo_nb = 1 << 16
+            if cuckoo_nb & (cuckoo_nb - 1):
+                raise ValueError(
+                    f"cuckoo_buckets must be a power of 2, got {cuckoo_nb}"
+                )
+            total_mb = cfg.n_shards * cuckoo_nb * cuckoo_ops.SLOTS * 2 / 1e6
+            if total_mb > cfg.bloom_broadcast_budget_mb:
+                raise ValueError(
+                    f"Cuckoo shards need {total_mb:.0f} MB "
+                    f"({cfg.n_shards} shards x {cuckoo_nb} buckets x "
+                    f"{cuckoo_ops.SLOTS} slots) — over the "
+                    f"{cfg.bloom_broadcast_budget_mb} MB broadcast budget. "
+                    "Raise bloom_broadcast_budget_mb, lower cuckoo_buckets, "
+                    "or set use_bloom=False (the exact anti-join tier alone "
+                    "is still correct)."
+                )
+        elif cfg.use_bloom:
             if cfg.bloom_target_fpr is not None and cfg.bloom_expected_seen:
                 bloom_bits = dedup_ops.bloom_bits_for(
                     -(-cfg.bloom_expected_seen // cfg.n_shards),
@@ -379,16 +407,21 @@ class CrawlEngine:
         # each epoch's new fingerprints) instead of rebuilt from the full
         # seen table — the distributed analog of the reference's batched
         # write-behind Bloom updates (src/scheduler.rs:529-551)
+        # `blooms` holds the approximate seen tier's shard state: Bloom
+        # bitsets or cuckoo tag tables, per cfg.seen_filter
         if manifest is not None:
             seen0 = store.read_seen(epoch0 - 1)
             n_seen = seen0.count()
-            blooms = (
-                dedup_ops.build_bloom_shards(
+            if not cfg.use_bloom:
+                blooms = None
+            elif cfg.seen_filter == "cuckoo":
+                blooms = cuckoo_ops.build_cuckoo_shards(
+                    seen0, cfg.n_shards, cuckoo_nb
+                )
+            else:
+                blooms = dedup_ops.build_bloom_shards(
                     seen0, cfg.n_shards, bloom_bits, cfg.bloom_hashes
                 )
-                if cfg.use_bloom
-                else None
-            )
         else:
             n_seen = 0
             blooms = {} if cfg.use_bloom else None
@@ -743,6 +776,8 @@ class CrawlEngine:
                 n_shards=cfg.n_shards,
                 n_bits=bloom_bits,
                 n_hashes=cfg.bloom_hashes,
+                filter_kind=cfg.seen_filter,
+                cuckoo_buckets=cuckoo_nb,
             ).join(
                 F.broadcast(new_seen.select("fingerprint")),
                 "fingerprint",
@@ -814,6 +849,18 @@ class CrawlEngine:
             def _commit_seen():
                 store.write_seen_delta(new_seen, epoch)
                 if cfg.use_bloom:
+                    if cfg.seen_filter == "cuckoo":
+                        # cuckoo placement is stateful (no OR-merge): insert
+                        # the epoch's new fingerprints into the prior shard
+                        # tables distributed; returns the MERGED tables
+                        # (reads `blooms` before the main thread reassigns —
+                        # reassignment happens only after f_seen.result())
+                        return cuckoo_ops.merge_cuckoo_shards(
+                            blooms or {},
+                            new_seen.select("fingerprint"),
+                            cfg.n_shards,
+                            cuckoo_nb,
+                        )
                     # incremental Bloom: OR the epoch's new fingerprints into
                     # the cached shard bitsets (no full-seen rescan)
                     return dedup_ops.build_bloom_shards(
@@ -1080,7 +1127,11 @@ class CrawlEngine:
                 if f_metrics is not None:
                     f_metrics.result()
             if cfg.use_bloom and delta is not None:
-                blooms = dedup_ops.merge_bloom_shards(blooms or {}, delta)
+                blooms = (
+                    delta  # _commit_seen already merged the cuckoo tables
+                    if cfg.seen_filter == "cuckoo"
+                    else dedup_ops.merge_bloom_shards(blooms or {}, delta)
+                )
             n_seen += n_ok
 
             # ---- global adaptive wave sizing (reference adjust_permits,

@@ -156,3 +156,63 @@ def test_mixture_sample_big_path_and_budgets(spark):
         mass = sum(r["tokens"] for r in rows)
         assert mass <= budget, lang
         assert max(r["cum_tokens"] for r in rows) == mass, lang
+
+
+def test_engine_cuckoo_tier_parity(spark, tmp_path):
+    """CrawlConfig(seen_filter='cuckoo'): the crawl's items, seen set, and
+    fetch order are IDENTICAL to the Bloom-tier run — either approximate
+    tier is a prefilter and the exact anti-join decides. Multi-epoch, so
+    the distributed per-epoch merge (merge_cuckoo_shards) is exercised."""
+    from spider_core_spark import schemas
+    from spider_core_spark.api.spider import Spider
+    from spider_core_spark.plans.config import CrawlConfig
+    from spider_core_spark.plans.engine import CrawlEngine
+    from spider_core_spark.sources import sitegen
+
+    rows = sitegen.gen_pages_rows(range(150), 150, 4, 7)
+    pages_df = spark.createDataFrame(rows, schemas.PAGES)
+    robots_df = spark.createDataFrame(sitegen.gen_robots(4, 7), schemas.ROBOTS)
+    seeds = [s["url"] for s in sitegen.gen_seeds(4)]
+
+    results = {}
+    for kind in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(
+            workdir=str(tmp_path / kind),
+            max_epochs=12,
+            n_shards=4,
+            seen_filter=kind,
+            cuckoo_buckets=256,
+            bloom_min_seen=0,  # force the probe stage from epoch 1
+        )
+        res = CrawlEngine(spark, Spider(start_urls=seeds), cfg).run(
+            pages_df, robots_df
+        )
+        results[kind] = (
+            dict(res.totals),
+            sorted(r["fingerprint"] for r in res.seen().collect()),
+            [
+                (r["epoch"], r["wave_rank"], r["url"])
+                for r in res.order().orderBy("epoch", "wave_rank").collect()
+            ],
+        )
+    assert results["bloom"][0] == results["cuckoo"][0], "totals differ"
+    assert results["bloom"][1] == results["cuckoo"][1], "seen set differs"
+    assert results["bloom"][2] == results["cuckoo"][2], "fetch order differs"
+
+
+def test_engine_cuckoo_budget_refusal(spark, tmp_path):
+    from spider_core_spark.api.spider import Spider
+    from spider_core_spark.plans.config import CrawlConfig
+    from spider_core_spark.plans.engine import CrawlEngine
+
+    cfg = CrawlConfig(
+        workdir=str(tmp_path / "x"),
+        seen_filter="cuckoo",
+        n_shards=1024,
+        cuckoo_buckets=1 << 20,
+        bloom_broadcast_budget_mb=512,
+    )
+    with pytest.raises(ValueError, match="Cuckoo shards"):
+        CrawlEngine(spark, Spider(start_urls=["http://a.test/"]), cfg).run(
+            spark.createDataFrame([], "url string"), None
+        )
