@@ -27,6 +27,7 @@ import shutil
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spider_core_spark import schemas
 
@@ -46,6 +47,9 @@ class CheckpointStore:
 
     def seen_compact_dir(self, epoch: int) -> str:
         return os.path.join(self.workdir, "seen_compact", f"epoch={epoch}")
+
+    def seen_evict_dir(self, epoch: int) -> str:
+        return os.path.join(self.workdir, "seen_evict", f"epoch={epoch}")
 
     def epoch_dir(self, kind: str, epoch: int) -> str:
         return os.path.join(self.workdir, kind, f"epoch={epoch}")
@@ -78,11 +82,46 @@ class CheckpointStore:
     def write_seen_delta(self, new_seen: DataFrame, epoch: int) -> None:
         new_seen.write.mode("overwrite").parquet(self.seen_dir(epoch))
 
+    def write_seen_eviction(self, fps: DataFrame, epoch: int) -> None:
+        """Tombstone delta (the Iceberg equality-delete analog, with
+        `epoch` playing the sequence number): rows of `fps` (one
+        `fingerprint` column) are evicted from every seen row whose
+        epoch_marked <= `epoch`. A fingerprint RE-ADDED by a later epoch's
+        delta (epoch_marked > epoch) survives — so recrawl eviction and
+        the subsequent refetch compose without rewriting history, exactly
+        like Iceberg merge-on-read deletes. Used by plans/recrawl.py's
+        in-place continuous mode; the 10^10 win is that eviction is an
+        O(|due|) delta write, never a rewrite of the 10^10-row seen table
+        (that fold happens lazily at the next compact_seen). A second
+        eviction at the same epoch MERGES with the first (tmp write +
+        atomic swap — never a read-and-overwrite of the same dir)."""
+        final = self.seen_evict_dir(epoch)
+        df = fps.select("fingerprint").withColumn(
+            "evict_epoch", F.lit(int(epoch)).cast("int")
+        )
+        if os.path.exists(final):
+            df = df.unionByName(
+                self.spark.read.schema(
+                    "fingerprint string, evict_epoch int"
+                ).parquet(final)
+            )
+        tmp = final + ".tmp"
+        df.distinct().write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
     def read_seen(self, up_to_epoch: int) -> DataFrame:
         """Latest compacted snapshot ≤ up_to_epoch plus the per-epoch deltas
         after it — keeps the read O(epochs since compaction) instead of
         O(all epochs) (a 10^3-epoch crawl would otherwise union 10^3
-        directories every epoch)."""
+        directories every epoch). Eviction tombstones written at epochs
+        >= the compact base are merge-on-read applied: a hash anti-join
+        on fingerprint with the sequence condition epoch_marked <=
+        evict_epoch (tombstones below the base were folded in by the
+        compaction that created it; re-applying one would be a no-op
+        anyway because every surviving row has epoch_marked >
+        evict_epoch)."""
         base = -1
         for e in range(up_to_epoch, -1, -1):
             if os.path.exists(self.seen_compact_dir(e)):
@@ -96,7 +135,23 @@ class CheckpointStore:
         ]
         if not dirs:
             return self.spark.createDataFrame([], schemas.SEEN)
-        return self.spark.read.schema(schemas.SEEN).parquet(*dirs)
+        seen = self.spark.read.schema(schemas.SEEN).parquet(*dirs)
+        evict_dirs = [
+            self.seen_evict_dir(e)
+            for e in range(max(base, 0), up_to_epoch + 1)
+            if os.path.exists(self.seen_evict_dir(e))
+        ]
+        if evict_dirs:
+            ev = self.spark.read.schema(
+                "fingerprint string, evict_epoch int"
+            ).parquet(*evict_dirs)
+            seen = seen.join(
+                ev,
+                (seen["fingerprint"] == ev["fingerprint"])
+                & (seen["epoch_marked"] <= ev["evict_epoch"]),
+                "left_anti",
+            )
+        return seen
 
     def compact_seen(self, up_to_epoch: int) -> None:
         """Merge snapshot+deltas into one snapshot dir (the Iceberg-compact

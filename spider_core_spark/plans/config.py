@@ -69,6 +69,13 @@ class CrawlConfig:
     # (~235k keys/shard at 0.9). Same loud broadcast-budget check as the
     # Bloom tier.
     cuckoo_buckets: int | None = None
+    # in-place continuous recrawl (plans/recrawl.py): on resume=True, also
+    # inject the spider's seeds / start_requests into the restored
+    # frontier, anti-joined against BOTH the seen set and the pending
+    # frontier — so only never-seen (or tombstone-EVICTED, see
+    # CheckpointStore.write_seen_eviction) URLs re-enter. Off by default:
+    # a plain resume must not re-enqueue anything.
+    reseed_on_resume: bool = False
 
     # checkpointing (reference periodic checkpoint task,
     # src/crawler/core.rs:212-258): snapshot every k epochs; final always

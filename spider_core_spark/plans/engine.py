@@ -426,6 +426,30 @@ class CrawlEngine:
             n_seen = 0
             blooms = {} if cfg.use_bloom else None
 
+        if manifest is not None and cfg.reseed_on_resume:
+            # in-place recrawl (plans/recrawl.py): re-inject seeds /
+            # start_requests into the restored frontier. Anti-join against
+            # the (tombstone-filtered) seen set and the pending frontier,
+            # so exactly the never-seen-or-EVICTED subset re-enters;
+            # epoch_added rewritten to this resume's first epoch for
+            # honest lineage. With seen_filter="cuckoo" the approximate
+            # tier above was rebuilt from the post-eviction seen set, so
+            # the evicted fingerprints are genuinely absent from the
+            # filter too (the deletable-tier property Bloom lacks —
+            # Bloom's rebuild-from-seen achieves the same here, at full-
+            # scan cost; see operators/cuckoo.py module docstring).
+            reseed = (
+                self._seed_frontier(seeds_df)
+                .withColumn("epoch_added", F.lit(epoch0).cast("int"))
+                .join(seen0.select("fingerprint"), "fingerprint", "left_anti")
+                .join(
+                    frontier.select("fingerprint"), "fingerprint", "left_anti"
+                )
+            )
+            frontier = frontier.unionByName(reseed)
+            if cfg.detailed_metrics:
+                totals["requests_enqueued"] += reseed.count()
+
         detail = cfg.detailed_metrics
 
         # adaptive per-host budgets (A8 feedback): (host, budget) table,

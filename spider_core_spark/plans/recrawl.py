@@ -31,6 +31,20 @@ pieces:
    within a revisit wave), while cross-run memory lives in the history
    table.
 
+4. ``evict_for_recrawl(spark, workdir, urls, ...)`` — the IN-PLACE
+   alternative to the fresh-workdir mode: tombstone the due URLs out of
+   the long-lived run's seen set (CheckpointStore.write_seen_eviction —
+   an O(|due|) Iceberg-style equality-delete delta, never a rewrite of
+   the 10^10-row table), then resume THE SAME workdir with
+   ``CrawlConfig(reseed_on_resume=True)`` and
+   ``Spider(start_requests=due)``: exactly the evicted set re-enters
+   the frontier and is refetched, every other URL stays deduped, and
+   links discovered on the refetched pages are crawled if new. This is
+   where the deletable cuckoo seen tier (CrawlConfig(
+   seen_filter="cuckoo"), operators/cuckoo.py) earns its keep: the
+   resume rebuilds the approximate tier from the post-eviction seen
+   set, so an evicted URL is never wrongly short-circuited.
+
 Scale: history is url-keyed and append-only (10^10 rows partition by
 run_epoch; the schedule window partitions by url — the natural key);
 ``due_start_requests`` collects only the LIMITED, ranked due set (a
@@ -122,3 +136,50 @@ def due_start_requests(
         {"url": r["url"], "priority": i, "meta": {"recrawl": "1"}}
         for i, r in enumerate(due)
     ]
+
+
+def evict_for_recrawl(
+    spark,
+    workdir: str,
+    urls: list[str] | DataFrame,
+    canonicalize: bool = False,
+) -> int:
+    """Tombstone `urls` out of `workdir`'s seen set so a subsequent
+    ``run(..., resume=True)`` with ``reseed_on_resume=True`` refetches
+    exactly them (module docstring §4).
+
+    Fingerprints are derived through the engine's own seed path
+    (frontier_ops.seed_frontier_select — fragment strip, optional
+    canonicalize, h-fingerprint), so eviction keys match enqueue keys
+    byte-for-byte; pass the same `canonicalize` the crawl config uses.
+    The tombstone is written at the manifest's last committed epoch:
+    every row marked so far is killed, any later refetch re-add
+    (epoch_marked > last_epoch) survives. Raises if the workdir has no
+    committed run to evict from."""
+    from spider_core_spark.operators import frontier as frontier_ops
+    from spider_core_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, workdir)
+    manifest = store.read_manifest()
+    if manifest is None:
+        raise ValueError(
+            f"no committed crawl manifest under {workdir!r} — "
+            "evict_for_recrawl only applies to a finished/checkpointed run"
+        )
+    if isinstance(urls, DataFrame):
+        raw = urls.select(
+            "url", F.monotonically_increasing_id().alias("seq")
+        )
+    else:
+        raw = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "url string, seq long"
+        )
+    fps = frontier_ops.seed_frontier_select(
+        raw, canonicalize=canonicalize
+    ).select("fingerprint")
+    store.write_seen_eviction(fps, manifest["last_epoch"])
+    return (
+        spark.read.schema("fingerprint string, evict_epoch int")
+        .parquet(store.seen_evict_dir(manifest["last_epoch"]))
+        .count()
+    )
