@@ -58,6 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "j6_redirect_resolve",
+    "j7_mirror_detect",
     "u5_cuckoo_membership",
     "text_mixture_sample",
     "ann_ivfpq_topk",
@@ -123,6 +125,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_left_misses": dq.j1_left_misses,
         "j2_anti_dedup": dq.j2_anti_dedup,
         "j5_anchor_agg": dq.j5_anchor_agg,
+        # redirect-chain resolution (pointer doubling, log-rounds) and
+        # content-mirror canonical-URL election — beyond-reference crawl
+        # realism (the reference has no 3xx handling)
+        "j6_redirect_resolve": dq.j6_redirect_resolve,
+        "j7_mirror_detect": dq.j7_mirror_detect,
         "u1_union_distinct": dq.u1_union_distinct,
         "u2_queue_salvage": dq.u2_queue_salvage,
         "p2_first_seen": dq.p2_first_seen,
@@ -255,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
         "j1_left_misses": dq.J1_LEFT_SQL,
         "j2_anti_dedup": dq.J2_SQL,
         "j5_anchor_agg": dq.J5_SQL,
+        "j6_redirect_resolve": dq.J6_SQL,
+        "j7_mirror_detect": dq.J7_SQL,
         "u1_union_distinct": dq.U1_SQL,
         "u2_queue_salvage": dq.U2_SQL,
         "p2_first_seen": dq.P2_SQL,

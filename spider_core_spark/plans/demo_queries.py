@@ -1785,3 +1785,229 @@ LEFT JOIN alive a ON a.pmin = k.pmin AND a.tag = k.tag
 
 
 U5_SQL = _u5_sql()
+
+
+# --- J6: redirect-chain resolution (pointer doubling) ----------------------
+# The reference crawler has no redirect support (no 3xx handling anywhere
+# in /root/reference/src — request_handler.rs treats every response as
+# final), so this is a beyond-reference crawl operator: resolve each
+# redirect source to its final destination, following chains up to
+# REDIR_MAX_HOPS and refusing cycles / over-long chains (a browser-style
+# "too many redirects" failure).
+#
+# Scale shape: the naive walk is REDIR_MAX_HOPS sequential joins; this
+# uses POINTER DOUBLING instead — each round composes the partial
+# resolution with itself (f -> f∘f), so cur advances 1,2,4,8,... hops and
+# ceil(log2(MAX_HOPS+1))+1 rounds of ordinary shuffle equi-joins on `cur`
+# suffice for any input (3 rounds at MAX_HOPS=6; 5 at the browser-ish 20).
+# At a 10^10-edge redirect table every round is one standard key-partition
+# shuffle — no driver state, no per-row iteration, and skew on a hot
+# redirect TARGET stays join-skew that AQE splits. A node stops moving
+# the round after it lands on a terminal (terminals have no row in the
+# mapping side), so late rounds shrink to the unresolved remainder.
+#
+# Fixture: a deterministic functional graph on range(REDIR_N) (same
+# no-external-data contract as the mm_* oracles) — node k redirects to
+# k-1 unless k % 10 == 0 (terminals), giving chains of length k % 10 (up
+# to 9 > MAX_HOPS, so over-long chains are exercised), with 2-cycles
+# spliced in at k % 1000 in {1,2} for k >= 1000 (cycle refusal
+# exercised). Sentinels, not NULLs: final_url='' and hops=-1 on failure.
+REDIR_N = 5000
+REDIR_MAX_HOPS = 6
+REDIR_HOSTS = 40
+
+
+def _redir_url(col):
+    return F.concat(
+        F.lit("http://h"),
+        (col % REDIR_HOSTS).cast("string"),
+        F.lit(".test/r/"),
+        col.cast("string"),
+    )
+
+
+def _redirect_edges(spark) -> DataFrame:
+    k = F.col("id").cast("long")
+    dst = (
+        F.when((k % 1000 == 1) & (k >= 1000), k + 1)
+        .when((k % 1000 == 2) & (k >= 1000), k - 1)
+        .when(k % 10 != 0, k - 1)
+    )
+    return (
+        spark.range(REDIR_N)
+        .select(k.alias("src"), dst.alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+
+
+def j6_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _redirect_edges(spark)
+    # p: src has advanced to cur in hops steps (f^(2^i) after round i)
+    p = edges.select(
+        "src", F.col("dst").alias("cur"), F.lit(1).cast("long").alias("hops")
+    )
+    rounds = max(1, (REDIR_MAX_HOPS + 1).bit_length())  # 2^rounds > MAX_HOPS
+    for _ in range(rounds):
+        q = p.select(
+            F.col("src").alias("q_src"),
+            F.col("cur").alias("q_cur"),
+            F.col("hops").alias("q_hops"),
+        )
+        p = (
+            p.join(q, p.cur == q.q_src, "left")
+            .select(
+                "src",
+                F.coalesce("q_cur", "cur").alias("cur"),
+                (
+                    F.col("hops")
+                    + F.coalesce(F.col("q_hops"), F.lit(0))
+                ).alias("hops"),
+            )
+        )
+    srcs = edges.select(F.col("src").alias("cur")).distinct()
+    out = (
+        p.join(srcs, "cur", "left_anti")  # terminal: cur has no out-edge
+        .filter(F.col("hops") <= REDIR_MAX_HOPS)
+        .select(
+            "src",
+            _redir_url(F.col("cur")).alias("final_url"),
+            F.col("hops").cast("int").alias("hops"),
+        )
+    )
+    return (
+        _redirect_edges(spark)
+        .select("src")
+        .join(out, "src", "left")
+        .select(
+            _redir_url(F.col("src")).alias("src_url"),
+            F.coalesce("final_url", F.lit("")).alias("final_url"),
+            F.coalesce("hops", F.lit(-1)).cast("int").alias("hops"),
+            (F.col("final_url").isNotNull()).alias("resolved"),
+        )
+    )
+
+
+def _j6_sql() -> str:
+    url = (
+        f"'http://h' || (%s %% {REDIR_HOSTS})::VARCHAR || '.test/r/' "
+        "|| (%s)::VARCHAR"
+    )
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT k AS src,
+         CASE WHEN k % 1000 = 1 AND k >= 1000 THEN k + 1
+              WHEN k % 1000 = 2 AND k >= 1000 THEN k - 1
+              WHEN k % 10 <> 0 THEN k - 1 END AS dst
+  FROM (SELECT range AS k FROM range({REDIR_N}))
+  WHERE (k % 1000 = 1 AND k >= 1000) OR (k % 1000 = 2 AND k >= 1000)
+        OR k % 10 <> 0
+), walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops <= {REDIR_MAX_HOPS}
+), resolved AS (
+  SELECT src, cur, hops FROM walk
+  WHERE hops <= {REDIR_MAX_HOPS}
+    AND cur NOT IN (SELECT src FROM edges)
+)
+SELECT {url % ('e.src', 'e.src')} AS src_url,
+       coalesce({url % ('r.cur', 'r.cur')}, '') AS final_url,
+       coalesce(r.hops, -1)::INT AS hops,
+       (r.cur IS NOT NULL) AS resolved
+FROM edges e LEFT JOIN resolved r ON r.src = e.src
+"""
+
+
+J6_SQL = _j6_sql()
+
+
+# --- J7: content-mirror detection (canonical URL election) -----------------
+# A crawl of the same corpus through different URL spellings (www vs
+# apex, tracking/session query params, http vs https mirrors) yields
+# byte-identical bodies under distinct URLs. The frontier dedups by URL
+# fingerprint, so these all fetch; the CONTENT layer must then elect one
+# canonical URL per body and alias the rest — both to stop re-enqueueing
+# known mirrors (feed the alias map to the canonicalizer) and to keep
+# one copy in the corpus. Shape: one sha256 per body (map-side, no
+# shuffle), one groupBy(content fp) min() for the canonical election,
+# one broadcast-or-shuffle self-join to emit alias rows — all combinable
+# aggregates, no windows, so it holds at 10^10 pages.
+#
+# Fixture: the documents table with URL variants exploded
+# deterministically per doc (every doc gets its base URL; doc_id % 5 == 0
+# adds a ?session= variant, doc_id % 7 == 0 adds a www. mirror), plus
+# the corpus's own exact-dup texts (different doc_id, same body) which
+# also collapse — exactly like real mirrored pages.
+def _j7_variants(docs: DataFrame) -> DataFrame:
+    base = F.concat(
+        F.lit("http://d"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    session = F.concat(
+        base, F.lit("?session="), (F.col("doc_id") * 2654435761).cast("string")
+    )
+    www = F.concat(
+        F.lit("http://www.d"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = F.array_compact(
+        F.array(
+            base,
+            F.when(F.col("doc_id") % 5 == 0, session),
+            F.when(F.col("doc_id") % 7 == 0, www),
+        )
+    )
+    return docs.select(
+        F.explode(urls).alias("url"),
+        F.sha2(F.col("text"), 256).alias("content_fp"),
+    )
+
+
+def j7_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _j7_variants(_t(spark, sf_dir, "documents"))
+    canon = pages.groupBy("content_fp").agg(
+        F.min("url").alias("canonical_url"),
+        F.count("*").cast("long").alias("n_mirrors"),
+    )
+    return (
+        pages.join(canon, "content_fp")
+        .filter(F.col("url") != F.col("canonical_url"))
+        .select(
+            F.col("url").alias("alias_url"),
+            "canonical_url",
+            "content_fp",
+            "n_mirrors",
+        )
+    )
+
+
+J7_SQL = """
+WITH pages AS (
+  SELECT unnest(list_filter([
+           'http://d' || (doc_id % 50)::VARCHAR || '.test/doc/'
+             || doc_id::VARCHAR,
+           CASE WHEN doc_id % 5 = 0 THEN
+             'http://d' || (doc_id % 50)::VARCHAR || '.test/doc/'
+               || doc_id::VARCHAR || '?session='
+               || (doc_id * 2654435761)::VARCHAR END,
+           CASE WHEN doc_id % 7 = 0 THEN
+             'http://www.d' || (doc_id % 50)::VARCHAR || '.test/doc/'
+               || doc_id::VARCHAR END
+         ], x -> x IS NOT NULL)) AS url,
+         sha256(text) AS content_fp
+  FROM documents
+), canon AS (
+  SELECT content_fp, min(url) AS canonical_url,
+         count(*)::BIGINT AS n_mirrors
+  FROM pages GROUP BY content_fp
+)
+SELECT p.url AS alias_url, c.canonical_url, p.content_fp, c.n_mirrors
+FROM pages p JOIN canon c USING (content_fp)
+WHERE p.url <> c.canonical_url
+"""
