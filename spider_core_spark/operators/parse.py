@@ -152,3 +152,45 @@ def link_candidates(
         # seeds do, reference src/spider.rs:112-121)
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
+
+
+def redirect_candidates(
+    redirected: DataFrame, epoch: int, canonicalize: bool = False
+) -> DataFrame:
+    """3xx responses → FRONTIER-schema candidates for their `location`.
+
+    Beyond-reference semantics (the reference has no 3xx handling): the
+    redirect target re-enters at the request's OWN depth (a redirect is
+    the same logical page, not a link hop) and inherits its priority; seq
+    packs as (epoch, parent wave_rank, pos=0) — a redirect response is
+    never also parsed, so pos 0 cannot collide with a link position from
+    the same rank. Locations are absolute URLs by contract (the fixture
+    and the Location header in practice); they go through the same
+    normalize/canonicalize + fingerprint path as discovered links, so
+    enqueue-time dedup — including the seen mark on the redirect SOURCE —
+    breaks redirect cycles without any hop counter in the frontier."""
+    norm = (
+        urlfn.canonicalize_url_col(F.col("location"))
+        if canonicalize
+        else urlfn.normalize_url_col(F.col("location"))
+    )
+    ex = redirected.select(
+        norm.alias("url"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("priority").cast("int").alias("priority"),
+        F.col("wave_rank").alias("_parent_rank"),
+    )
+    return ex.select(
+        "url",
+        urlfn.fingerprint_col(F.col("url")).alias("fingerprint"),
+        urlfn.host_col(F.col("url")).alias("host"),
+        urlfn.host_hash_col(urlfn.host_col(F.col("url"))).alias("host_hash"),
+        "depth",
+        "priority",
+        child_seq_col(epoch, F.col("_parent_rank"), F.lit(0)).alias("seq"),
+        F.lit(0).cast("int").alias("retry_count"),
+        F.lit(0).cast("int").alias("not_before_epoch"),
+        F.lit("pending").alias("state"),
+        F.lit(epoch + 1).cast("int").alias("epoch_added"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )

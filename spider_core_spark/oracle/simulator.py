@@ -46,6 +46,11 @@ class SimConfig:
     max_retries: int = 0
     retry_delay_epochs: int = 1
     success_max_status: int = 399
+    # mirror of CrawlConfig.follow_redirects: a 3xx page with a
+    # "location" key is neither success nor failure; its target re-enters
+    # the candidate stream at the SAME depth with the request's priority,
+    # and the source is marked seen (cycle break)
+    follow_redirects: bool = True
     drop_url_pattern: str | None = None  # DropUrlPattern analog
     # A8 adaptive per-host budget feedback (same rule as the engine)
     adaptive_budget: bool = False
@@ -151,6 +156,7 @@ def simulate(
         "bytes_downloaded": 0,
         "items_processed": 0,
         "urls_deduped": 0,
+        "requests_redirected": 0,
     }
 
     adaptive: dict[str, int] = {}
@@ -252,9 +258,11 @@ def simulate(
 
         orders[epoch] = [r.url for r in wave]
         n_ok = n_miss = n_bad = n_retried = resp_dropped = 0
+        n_redirected = 0
         bytes_dl = 0
         retries: list[_Req] = []
         parsed_rows = []  # (wave_rank, req, title, text, links, lang)
+        redirect_rows = []  # (wave_rank, req, location)
 
         sent_h: dict[str, int] = {}
         err_h: dict[str, int] = {}
@@ -297,6 +305,14 @@ def simulate(
                 else:
                     resp_dropped += 1
                 continue
+            if (
+                cfg.follow_redirects
+                and 300 <= status <= 399
+                and page.get("location")
+            ):
+                n_redirected += 1
+                redirect_rows.append((rank, r, page["location"]))
+                continue
             if status > cfg.success_max_status:
                 n_bad += 1
                 continue
@@ -305,8 +321,11 @@ def simulate(
             links = [x for x in (resolve_link(r.url, h) for h in hrefs) if x]
             parsed_rows.append((rank, r, title, text, links, page.get("lang")))
 
-        # mark visited AFTER success
+        # mark visited AFTER success — redirect SOURCES included (the seen
+        # mark is the redirect-cycle breaker; engine does the same)
         for rank, r, *_ in parsed_rows:
+            seen.add(r.fingerprint)
+        for rank, r, _loc in redirect_rows:
             seen.add(r.fingerprint)
 
         # items (emission order)
@@ -348,6 +367,22 @@ def simulate(
                         + pos,
                     )
                 )
+
+        # redirect targets join the same candidate stream: SAME depth,
+        # inherited priority, seq pos=0 (a redirect row is never parsed,
+        # so pos 0 cannot collide with one of its own link positions)
+        for rank, r, loc in redirect_rows:
+            nu = _norm(loc)
+            cands.append(
+                _Req(
+                    nu,
+                    fingerprint_py(nu),
+                    host_py(nu),
+                    r.depth,
+                    r.priority,
+                    (epoch + 1) * SEQ_EPOCH_BASE + rank * SEQ_PARENT_BASE,
+                )
+            )
 
         # enqueue-time dedup vs (seen incl. this epoch's marks ∪ pending
         # frontier ∪ retries ∪ same batch), keep first emission
@@ -433,7 +468,9 @@ def simulate(
             "requests_enqueued": len(new_rows),
             "bytes_downloaded": bytes_dl,
             "urls_deduped": urls_deduped,
+            "requests_redirected": n_redirected,
         }
+        totals["requests_redirected"] += n_redirected
         totals["requests_sent"] += len(sent)
         totals["requests_succeeded"] += n_ok
         totals["requests_failed"] += n_miss + n_bad

@@ -76,6 +76,18 @@ class CrawlConfig:
     # CheckpointStore.write_seen_eviction) URLs re-enter. Off by default:
     # a plain resume must not re-enqueue anything.
     reseed_on_resume: bool = False
+    # redirect following (beyond-reference: /root/reference/src has no 3xx
+    # handling — request_handler.rs treats every response as final). A
+    # CONTINUE/SERVE response with 300 <= status <= 399 AND a non-null
+    # `location` column is not parsed and emits no item; its (absolute)
+    # location re-enters the frontier at the SAME depth with the request's
+    # priority, through the normal enqueue-time dedup. The source URL is
+    # marked seen, so redirect cycles break via the dedup tier (no hop
+    # counter needed in the frontier schema); chains advance one hop per
+    # epoch, like any discovery. No-op when the pages table has no
+    # `location` column (3xx without location stays a parsed "success"
+    # under success_max_status=399, the pre-redirect behavior).
+    follow_redirects: bool = True
 
     # checkpointing (reference periodic checkpoint task,
     # src/crawler/core.rs:212-258): snapshot every k epochs; final always

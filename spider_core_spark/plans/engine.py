@@ -363,6 +363,7 @@ class CrawlEngine:
             "items_processed": 0,
             "items_dropped": 0,
             "urls_deduped": 0,
+            "requests_redirected": 0,
         }
 
         pipeline_totals: dict[str, dict] = {}
@@ -679,6 +680,20 @@ class CrawlEngine:
                 rs = rs.withColumn(
                     "cached", F.col("cached") | (F.col(mw.ACTION) == mw.SERVE)
                 )
+            # redirect split (cfg.follow_redirects): a 3xx WITH a location
+            # is neither success nor failure — its target re-enters the
+            # frontier below. Without a location column the flag is a
+            # constant false and every plan is unchanged.
+            follow_redirects = cfg.follow_redirects and "location" in rs.columns
+            rs = rs.withColumn(
+                "_is_redir",
+                (
+                    F.col("status").between(300, 399)
+                    & F.col("location").isNotNull()
+                )
+                if follow_redirects
+                else F.lit(False),
+            )
             # ALL fetch-stage counters (A1/A2) + timing stats (A3/A4) ride
             # the items-write action as an Observation — no dedicated
             # aggregation job per epoch (the observe node fills when the
@@ -703,12 +718,23 @@ class CrawlEngine:
                     F.sum(
                         F.when(
                             F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE)
-                            & (F.col("status") <= cfg.success_max_status),
+                            & (F.col("status") <= cfg.success_max_status)
+                            & ~F.col("_is_redir"),
                             1,
                         ).otherwise(0)
                     ),
                     F.lit(0),
                 ).alias("ok"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE)
+                            & F.col("_is_redir"),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("redirects"),
                 # A3/A4 real per-URL timing (measured inside the parse UDF;
                 # reference src/stats.rs:378-463)
                 F.avg("parsed.fetch_ms").alias("fetch_ms_avg"),
@@ -720,7 +746,11 @@ class CrawlEngine:
             ).persist()
             resp_retries = self._retry_rows(rs, epoch) if self.middlewares else None
             cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
-            ok = cont.filter(F.col("status") <= cfg.success_max_status)
+            ok = cont.filter(
+                (F.col("status") <= cfg.success_max_status)
+                & ~F.col("_is_redir")
+            )
+            redir = cont.filter(F.col("_is_redir")) if follow_redirects else None
             stage_s["plan_build"] = stage_s.get("plan_build", 0.0) + (
                 time.monotonic() - t_build0
             )
@@ -758,8 +788,18 @@ class CrawlEngine:
                 n_items = n_ok
             t_build1 = time.monotonic()
 
-            # ---- mark visited AFTER success (request_handler.rs:352-362)
-            new_seen = ok.select(
+            # ---- mark visited AFTER success (request_handler.rs:352-362);
+            # redirect SOURCES are marked too — the fetch happened, and the
+            # seen mark is what breaks redirect cycles (a→b→a dies at the
+            # enqueue-time dedup of a's second appearance)
+            seen_src = (
+                ok.select("fingerprint").unionByName(
+                    redir.select("fingerprint")
+                )
+                if redir is not None
+                else ok.select("fingerprint")
+            )
+            new_seen = seen_src.select(
                 "fingerprint",
                 F.lit(epoch).cast("int").alias("epoch_marked"),
                 dedup_ops.shard_col(F.col("fingerprint"), cfg.n_shards).alias(
@@ -786,6 +826,16 @@ class CrawlEngine:
                     self.spider.priority_expr,
                     canonicalize=cfg.canonicalize_urls,
                 )
+                if redir is not None:
+                    # redirect targets join the SAME candidate stream —
+                    # identical dedup/ordering machinery downstream; the
+                    # P6 shutdown skip above applies to them too (a
+                    # redirect target is a discovered request)
+                    cands = cands.unionByName(
+                        parse_ops.redirect_candidates(
+                            redir, epoch, canonicalize=cfg.canonicalize_urls
+                        )
+                    )
             if cfg.max_depth is not None:
                 cands = cands.filter(F.col("depth") <= cfg.max_depth)
             retries = [r for r in (req_retries, resp_retries) if r is not None]
@@ -913,10 +963,13 @@ class CrawlEngine:
             n_dropped = int(rqc.get(mw.DROP, 0)) + int(st["resp_dropped"])
             # failed = fetch misses + bad-status responses that the
             # middleware chain neither retried nor dropped
+            n_redirected = int(st["redirects"])
             n_bad = (
-                int(st["received"]) - n_ok - int(st["resp_dropped"]) - int(st["resp_retried"])
+                int(st["received"]) - n_ok - int(st["resp_dropped"])
+                - int(st["resp_retried"]) - n_redirected
             )
             totals["requests_sent"] += int(rqc.get(mw.CONTINUE, 0))
+            totals["requests_redirected"] += n_redirected
             totals["requests_succeeded"] += n_ok
             totals["requests_failed"] += n_miss + n_bad
             totals["requests_retried"] += n_retried

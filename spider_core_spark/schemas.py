@@ -22,6 +22,13 @@ PAGES = T.StructType(
     ]
 )
 
+# PAGES + the optional 3xx redirect target (absolute URL; the Location
+# header of a Common-Crawl capture). A pages table WITHOUT this column
+# disables redirect handling entirely (CrawlConfig.follow_redirects docs).
+PAGES_REDIR = T.StructType(
+    list(PAGES.fields) + [T.StructField("location", T.StringType(), True)]
+)
+
 # Seed list (reference Spider::start_urls, src/spider.rs:112-121 —
 # order matters, so a seq column carries list position).
 SEEDS = T.StructType(

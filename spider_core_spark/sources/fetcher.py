@@ -36,8 +36,12 @@ class JoinFetcher:
     the heap for big steady-state waves; default keeps memory speed."""
 
     def __init__(self, pages: DataFrame, storage_level: str = "MEMORY_AND_DISK"):
-        # normalize: keep only the response columns fetch produces
+        # normalize: keep only the response columns fetch produces.
+        # `location` (3xx redirect target, absolute URL) is optional — a
+        # pages table without it disables redirect handling entirely.
         cols = ["url", "warc_ts", "html", "text", "lang"]
+        if "location" in pages.columns:
+            cols.append("location")
         status = (
             F.col("status")
             if "status" in pages.columns

@@ -47,13 +47,22 @@ def _component(site: int, n_sites: int) -> int:
 
 
 def gen_page(
-    page_id: int, n_pages: int, n_sites: int, seed: int, density: int = 1
+    page_id: int, n_pages: int, n_sites: int, seed: int, density: int = 1,
+    redirect_frac: float = 0.0,
 ) -> dict:
     """Generate one page row, fully determined by (seed, page_id).
 
     ``density`` scales paragraph count/length (and thus html size and
     extraction cost) without touching the link graph — used by the bench
-    to make parse compute-bound while tests keep the default."""
+    to make parse compute-bound while tests keep the default.
+
+    ``redirect_frac``: fraction of pages emitted as 301 redirects (status
+    301, absolute ``location``, stub html, empty text). The draw happens
+    ONLY when the fraction is > 0, so the rng stream — and therefore every
+    existing fixture — is byte-identical at the default. Targets are
+    ordinary page URLs within the component, so chains (redirect→redirect)
+    and cycles (a target may itself redirect anywhere, including back)
+    occur naturally."""
     rng = random.Random(f"{seed}:{page_id}")
     per_site = max(1, n_pages // n_sites)
     site = min(page_id // per_site, n_sites - 1)
@@ -62,6 +71,25 @@ def gen_page(
     comp_sites = (
         [s for s in range(n_sites) if _component(s, n_sites) == comp] or [site]
     )
+
+    if redirect_frac > 0 and rng.random() < redirect_frac:
+        if rng.random() < 0.85:
+            tgt = page_url(site, rng.randrange(per_site))
+        else:
+            tgt = page_url(rng.choice(comp_sites), rng.randrange(per_site))
+        html = (
+            f'<html><head><title>Moved</title></head><body>'
+            f'<p>moved to {tgt}</p></body></html>'
+        ).encode("utf-8")
+        return {
+            "url": page_url(site, idx),
+            "warc_ts": _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=page_id),
+            "html": html,
+            "text": "",
+            "lang": None,
+            "status": 301,
+            "location": tgt,
+        }
 
     is_private = rng.random() < 0.04
     url = (
@@ -117,7 +145,7 @@ def gen_page(
         status = 404
     elif r < 0.02:
         status = 500
-    return {
+    row = {
         "url": url,
         "warc_ts": _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=page_id),
         "html": html,
@@ -125,32 +153,46 @@ def gen_page(
         "lang": rng.choice(_LANGS),
         "status": status,
     }
+    if redirect_frac > 0:  # uniform keys across the redirect-enabled table
+        row["location"] = None
+    return row
 
 
 def gen_pages_rows(
     page_ids: Iterable[int], n_pages: int, n_sites: int, seed: int,
-    density: int = 1,
+    density: int = 1, redirect_frac: float = 0.0,
 ) -> list[dict]:
-    return [gen_page(pid, n_pages, n_sites, seed, density) for pid in page_ids]
+    return [
+        gen_page(pid, n_pages, n_sites, seed, density, redirect_frac)
+        for pid in page_ids
+    ]
 
 
 def gen_pages_df(spark, n_pages: int, n_sites: int, seed: int = 42,
-                 density: int = 1):
+                 density: int = 1, redirect_frac: float = 0.0):
     """Distributed generation: mapInPandas over spark.range — scales to any
-    page count without driver memory; deterministic per page_id."""
+    page count without driver memory; deterministic per page_id.
+    ``redirect_frac > 0`` adds the optional `location` column (and 301
+    rows) — see gen_page; the default output is byte-identical to before
+    the redirect feature existed."""
+    cols = ["url", "warc_ts", "html", "text", "lang", "status"]
+    schema = schemas.PAGES
+    if redirect_frac > 0:
+        cols = cols + ["location"]
+        schema = schemas.PAGES_REDIR
 
     def gen_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = gen_pages_rows(b["id"].tolist(), n_pages, n_sites, seed, density)
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "html", "text", "lang", "status"],
+            rows = gen_pages_rows(
+                b["id"].tolist(), n_pages, n_sites, seed, density,
+                redirect_frac,
             )
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.range(0, n_pages)
         .repartition(max(spark.sparkContext.defaultParallelism, 4))
-        .mapInPandas(gen_batches, schema=schemas.PAGES)
+        .mapInPandas(gen_batches, schema=schema)
     )
 
 
@@ -180,9 +222,9 @@ def gen_robots(n_sites: int, seed: int = 42) -> list[dict]:
 
 def write_fixture(
     spark, outdir: str, n_pages: int, n_sites: int, seed: int = 42,
-    density: int = 1,
+    density: int = 1, redirect_frac: float = 0.0,
 ) -> None:
-    gen_pages_df(spark, n_pages, n_sites, seed, density).write.mode(
+    gen_pages_df(spark, n_pages, n_sites, seed, density, redirect_frac).write.mode(
         "overwrite"
     ).parquet(f"{outdir}/pages.parquet")
     spark.createDataFrame(gen_seeds(n_sites), schemas.SEEDS).coalesce(1).write.mode(

@@ -225,10 +225,26 @@ class StreamingCrawlEngine:
         resp_retries = (
             self._retry_rows(rs, int(batch_id)) if self.middlewares else None
         )
-        ok = rs.filter(
-            F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE)
-            & (F.col("status") <= cfg.success_max_status)
+        # redirect split — same semantics as the BSP engine: a 3xx WITH a
+        # location is neither success nor failure; no item, source marked
+        # seen (cycle breaker), target re-enters the stream at the SAME
+        # depth. Without a location column the flag is a constant false.
+        follow_redirects = cfg.follow_redirects and "location" in rs.columns
+        rs = rs.withColumn(
+            "_is_redir",
+            (
+                F.col("status").between(300, 399)
+                & F.col("location").isNotNull()
+            )
+            if follow_redirects
+            else F.lit(False),
         )
+        cont = rs.filter(F.col(mw.ACTION).isin(mw.CONTINUE, mw.SERVE))
+        ok = cont.filter(
+            (F.col("status") <= cfg.success_max_status)
+            & ~F.col("_is_redir")
+        )
+        redir = cont.filter(F.col("_is_redir")) if follow_redirects else None
 
         # items — idempotent per batch: replays overwrite, never re-append
         items = self.spider.build_items(
@@ -238,8 +254,14 @@ class StreamingCrawlEngine:
             os.path.join(self._items_dir, f"b_{batch_id}")
         )
 
-        # mark seen
-        new_seen = ok.select(
+        # mark seen — redirect SOURCES included (the seen mark is the
+        # redirect-cycle breaker; BSP engine does the same)
+        seen_src = (
+            ok.select("fingerprint").unionByName(redir.select("fingerprint"))
+            if redir is not None
+            else ok.select("fingerprint")
+        )
+        new_seen = seen_src.select(
             "fingerprint",
             F.lit(batch_id).cast("int").alias("epoch_marked"),
             dedup_ops.shard_col(F.col("fingerprint"), cfg.n_shards).alias("shard"),
@@ -257,6 +279,12 @@ class StreamingCrawlEngine:
             priority_expr=self.spider.priority_expr,
             canonicalize=cfg.canonicalize_urls,
         )
+        if redir is not None:
+            cands = cands.unionByName(
+                parse_ops.redirect_candidates(
+                    redir, int(batch_id), canonicalize=cfg.canonicalize_urls
+                )
+            )
         if cfg.max_depth is not None:
             cands = cands.filter(F.col("depth") <= cfg.max_depth)
         fresh = (
