@@ -27,6 +27,7 @@ from spider_core_spark.textops import dedup as td
 from spider_core_spark.textops import multimodal as tm
 from spider_core_spark.textops import packing as tp
 from spider_core_spark.textops import semantic as sm
+from spider_core_spark.sources import warc_io as wio
 from spider_core_spark.textops import similarity as ts
 
 
@@ -58,6 +59,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "src_warc_roundtrip",
     "j6_redirect_resolve",
     "j7_mirror_detect",
     "u5_cuckoo_membership",
@@ -245,6 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tm.synth_media_df(spark)
         ),
         "mm_patchify": lambda spark, sf: tm.patchify(tm.synth_media_df(spark)),
+        # WARC source/sink certification: documents -> .warc.gz shards ->
+        # parse-back; oracle recomputes every column from documents, so
+        # equality proves the encode/decode roundtrip lossless
+        "src_warc_roundtrip": wio.warc_roundtrip_query,
     }
     return _gate_rotated(q)
 
@@ -278,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "u3_hll_registers": dq.U3_SQL,
         "u4_bloom_membership": dq.U4_SQL,
         "u5_cuckoo_membership": dq.U5_SQL,
+        "src_warc_roundtrip": wio.WARC_RT_SQL,
         "f7_quality_priority": dq.F7_SQL,
         "f8_trap_detect": dq.F8_SQL,
         "a1_counters": dq.A1_SQL,

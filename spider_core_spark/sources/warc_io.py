@@ -161,6 +161,62 @@ def write_warc_shards(
     return pages.sparkSession.createDataFrame(rows, _MANIFEST_SCHEMA)
 
 
+def warc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate certification of the WARC encode→decode path against
+    deterministic content: documents rows become pages (html = the utf-8
+    bytes of text; every 7th doc a 301 with a synthetic Location), go
+    through write_warc_shards → read_warc, and come back as checkable
+    scalars. The DuckDB oracle recomputes every output column straight
+    from the documents table — equality proves the roundtrip lossless
+    (headers, status line, Location, language tag, and both payloads)."""
+    import tempfile
+    import uuid
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    is_redir = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        F.concat(F.lit("https://doc"), did, F.lit(".test/")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        "text",
+        "lang",
+        F.when(is_redir, 301).otherwise(200).cast("int").alias("status"),
+        F.when(
+            is_redir, F.concat(F.lit("https://mirror"), did, F.lit(".test/"))
+        ).alias("location"),
+    )
+    outdir = os.path.join(
+        tempfile.gettempdir(), f"warc_gate_{uuid.uuid4().hex}"
+    )
+    write_warc_shards(pages, outdir, n_shards=8)
+    back = read_warc(spark, outdir)
+    return back.select(
+        F.regexp_extract("url", r"doc(\d+)\.test", 1).cast("long").alias(
+            "doc_id"
+        ),
+        "status",
+        "location",
+        "lang",
+        F.sha2(F.col("html"), 256).alias("html_sha"),
+        F.sha2(F.col("text"), 256).alias("text_sha"),
+        F.length("html").cast("long").alias("n_html_bytes"),
+    )
+
+
+WARC_RT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 301 ELSE 200 END AS status,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'https://mirror' || doc_id || '.test/' END AS location,
+       lang,
+       sha256(text) AS html_sha,
+       sha256(text) AS text_sha,
+       strlen(text) AS n_html_bytes
+FROM documents
+"""
+
+
 def _parse_member(head: bytes, payload: bytes) -> dict | None:
     """Parse one WARC record (headers already split from payload)."""
     lines = head.decode("utf-8").split(_CRLF)
