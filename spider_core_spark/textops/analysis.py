@@ -75,7 +75,12 @@ FROM documents
 # ---------------------------------------------------------------- quality
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/diversity ratios + a composite score."""
-    d = _docs(spark, sf_dir)
+    return quality_score_frame(_docs(spark, sf_dir))
+
+
+def quality_score_frame(d: DataFrame) -> DataFrame:
+    """Frame form of quality_score — reused verbatim by the streaming
+    corpus-ingest path so stream and batch apply the identical bar."""
     toks = F.split(F.lower(F.col("text")), " ")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
