@@ -29,6 +29,7 @@ from spider_core_spark.textops import packing as tp
 from spider_core_spark.textops import semantic as sm
 from spider_core_spark.sources import warc_io as wio
 from spider_core_spark.textops import similarity as ts
+from spider_core_spark.textops import suffixes as sx
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "text_suffix_array",
+    "text_suffix_maxdup",
     "src_warc_roundtrip",
     "j6_redirect_resolve",
     "j7_mirror_detect",
@@ -251,6 +254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse-back; oracle recomputes every column from documents, so
         # equality proves the encode/decode roundtrip lossless
         "src_warc_roundtrip": wio.warc_roundtrip_query,
+        # distributed generalized suffix array (prefix doubling) + exact
+        # duplicated-substring detection from adjacent-entry LCPs — the
+        # exact counterpart of text_dup_spans' hashed approximation
+        "text_suffix_array": sx.suffix_array,
+        "text_suffix_maxdup": sx.suffix_maxdup,
     }
     return _gate_rotated(q)
 
@@ -285,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "u4_bloom_membership": dq.U4_SQL,
         "u5_cuckoo_membership": dq.U5_SQL,
         "src_warc_roundtrip": wio.WARC_RT_SQL,
+        "text_suffix_array": sx.suffix_array_sql(),
+        "text_suffix_maxdup": sx.suffix_maxdup_sql(),
         "f7_quality_priority": dq.F7_SQL,
         "f8_trap_detect": dq.F8_SQL,
         "a1_counters": dq.A1_SQL,

@@ -84,3 +84,67 @@ def with_global_rank(
     ranged.unpersist()
     df.unpersist()
     return out, acc
+
+
+def with_global_tie_rank(
+    df: DataFrame, order_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """TIE-PRESERVING 1-based global rank (SQL ``rank()`` semantics: equal
+    ``order_cols`` keys get the SAME rank, the next distinct key skips by
+    the tie count). Built for iterated order-refinement passes — the
+    suffix-array prefix-doubling rounds (``textops/suffixes.py``) need
+    "equal so far ⇒ equal rank" at every round, which ``with_global_rank``'s
+    row_number would destroy.
+
+    Same two-phase shape as ``with_global_rank``: range-repartition keeps
+    equal keys in one partition (RangePartitioner buckets by key value), so
+    global rank() = partition ROW-count offset + intra-partition rank() —
+    rank() counts rows strictly before the first row of the tie group, and
+    all of a group's rows live in one partition. Returns
+    ``(df + out_col, total rows)``; big-path output is persisted (caller
+    unpersists after its action), small path is a plain window frame.
+    """
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 2)
+
+    df = df.persist()
+    total = df.count()
+    if total <= SMALL_THRESHOLD:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        out = df.withColumn(out_col, F.rank().over(w).cast("long"))
+        out = out.persist()
+        df.unpersist(blocking=False)
+        return out, total
+
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark_offsets = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        f"{_PID} int, __rank_off long",
+    )
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        ranged.join(F.broadcast(spark_offsets), _PID, "left")
+        .withColumn(
+            out_col,
+            (
+                F.coalesce(F.col("__rank_off"), F.lit(0)) + F.rank().over(w)
+            ).cast("long"),
+        )
+        .drop(_PID, "__rank_off")
+    )
+    out = out.persist()
+    out.count()
+    ranged.unpersist()
+    df.unpersist()
+    return out, acc

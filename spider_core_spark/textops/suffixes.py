@@ -1,0 +1,315 @@
+"""Distributed generalized suffix array + EXACT duplicated-substring
+detection, by prefix doubling (Manber-Myers) — the exact counterpart of
+the hashed-shingle approximation in ``textops/analysis.dup_spans``.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") deduplicate exact substrings via a suffix array over the
+concatenated corpus; their tooling is a single-node C++ builder. This is
+the Spark-first restatement: the corpus never exists as one string —
+it is a (gpos, char) table, and the suffix ORDER is refined over
+``ceil(log2(maxlen))`` doubling rounds, each one equi-join (rank of
+``gpos+2^k``) plus one tie-preserving two-phase global rank
+(``operators/rank.with_global_tie_rank``). Round k orders suffixes by
+their first 2^k characters; the loop EARLY-EXITS the moment all ranks
+are distinct (i.e. after ~log2(longest repeat), not log2(corpus)).
+Every round is localCheckpoint'ed (eager) so lineage stays flat — the
+``neardup_clusters`` iterative pattern.
+
+Scale contract (100 TB): each doubling round is a shuffle join + a
+range-partitioned sort over |corpus| character rows — at 10^14 chars
+that is ~40 global sorts, which is real but NOT the deployment shape.
+Production runs this PER SHARD (a 10-100 GB corpus partition group
+builds its own suffix array in parallel with every other shard, exactly
+how Lee et al. shard their builder), with the cross-shard tail handled
+by the hashed ``dup_spans`` pass; the registered demo therefore bounds
+per-doc input to ``SA_DOC_PREFIX`` chars and REFUSES loudly past
+``SA_MAX_CHARS`` total, like the exact-dedup operators it certifies.
+
+Cross-engine exactness: the DuckDB oracle unrolls the identical
+doubling recursion (rank() windows + self-joins) to a fixed
+``SA_ORACLE_ROUNDS`` depth — extra rounds after ranks go distinct are
+rank-preserving no-ops, so the early-exited Spark result matches the
+fixed-depth oracle bit-for-bit. Both engines compare single characters
+under binary UTF-8 collation and the sentinel chr(1) sorts below all
+text characters.
+
+Reference parity: the reference crawler (spider-core) has no
+suffix-array pass; this operator extends the training-data dedup suite
+(SURVEY.md "beyond the reference" section) alongside dup_spans
+(same goal, hashed approximation) and the minhash family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spider_core_spark.operators.prefix import with_group_prefix_sum
+from spider_core_spark.operators.rank import with_global_tie_rank
+from spider_core_spark.textops.dedup import stage_handle
+
+# Registered contract: the demo suffix array covers the first
+# SA_DOC_PREFIX characters of every document (bounds doubling depth at
+# any scale factor: longest possible repeat < SA_DOC_PREFIX); the
+# operator itself takes the full text when doc_prefix=None.
+SA_DOC_PREFIX = 256
+SA_SENTINEL = "\x01"  # document separator; sorts below every text char
+# refusal guard — one shard's worth of characters; beyond this, build
+# per-shard arrays in parallel (module docstring scale contract)
+SA_MAX_CHARS = 16_000_000
+SA_TOPK = 4000  # registered suffix_array output bound (full SA is built)
+SA_MINLEN = 25  # registered maxdup threshold (chars)
+SA_LCP_CAP = 256  # reported dup_len cap == SA_DOC_PREFIX
+# fixed oracle unroll depth: 2^21 > any sf's truncated corpus length
+SA_ORACLE_ROUNDS = 21
+
+
+def _sa_chars(
+    spark: SparkSession, sf_dir: str, doc_prefix: int | None = SA_DOC_PREFIX
+) -> tuple[DataFrame, DataFrame]:
+    """(chars, docs_trunc): chars = one row per character of the
+    sentinel-terminated corpus — (gpos, doc_id, loc, c) with gpos the
+    global offset under doc_id order; docs_trunc = (doc_id, dt) the
+    truncated text WITHOUT the sentinel (for LCP extraction). Offsets
+    ride the two-phase grouped prefix sum, never a whole-corpus window.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dt = F.coalesce(F.col("text"), F.lit(""))
+    if doc_prefix is not None:
+        dt = F.substring(dt, 1, doc_prefix)
+    docs_t = docs.select("doc_id", dt.alias("dt")).withColumn(
+        "t", F.concat(F.col("dt"), F.lit(SA_SENTINEL))
+    )
+    with_len = docs_t.select(
+        "doc_id", "t", F.lit(0).alias("_g"), F.length("t").alias("_len")
+    )
+    offs, release = with_group_prefix_sum(
+        with_len, ["_g"], ["doc_id"], "_len", "off"
+    )
+    stage_handle(release)
+    chars = offs.select(
+        "doc_id",
+        "off",
+        F.posexplode(F.split(F.col("t"), "")).alias("loc", "c"),
+    ).select(
+        (F.col("off") + F.col("loc")).cast("long").alias("gpos"),
+        "doc_id",
+        F.col("loc").cast("long").alias("loc"),
+        "c",
+    )
+    return chars, docs_t.select("doc_id", "dt")
+
+
+def suffix_ranks(
+    chars: DataFrame, max_chars: int = SA_MAX_CHARS
+) -> tuple[DataFrame, int]:
+    """Prefix-doubling ranks: returns ((gpos, rnk), total) where rnk is
+    the 1-based suffix-array rank (a permutation — all suffixes of a
+    sentinel-terminated corpus are distinct). Each round's frame is an
+    eager localCheckpoint registered with the textops staged-cache
+    registry; callers drain with release_staged_caches() after their
+    terminal action."""
+    from spider_core_spark.operators.prefix import (  # checkpoint hygiene
+        ReleaseHandle,
+        _jrdd_handles,
+        _persistent_ids,
+    )
+
+    spark = chars.sparkSession
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        ids0 = _persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        handles = _jrdd_handles(spark, _persistent_ids(spark) - ids0)
+        stage_handle(ReleaseHandle(lambda: [h.unpersist() for h in handles]))
+        return out
+
+    ranked, total = with_global_tie_rank(
+        chars.select("gpos", "c"), ["c"], "rnk"
+    )
+    if total > max_chars:
+        ranked.unpersist()
+        raise ValueError(
+            f"suffix_ranks: corpus is {total} chars > max_chars="
+            f"{max_chars}; a single global suffix array past one shard's "
+            f"worth of characters is the wrong deployment shape — build "
+            f"per-shard arrays in parallel (module docstring) or raise "
+            f"max_chars explicitly"
+        )
+    cur = _ckpt(ranked.select("gpos", "rnk"))
+    ranked.unpersist()
+
+    k = 1
+    while k <= total:
+        n_distinct = cur.agg(
+            F.countDistinct("rnk").alias("d")
+        ).first()["d"]
+        if n_distinct >= total:
+            break
+        shifted = cur.select(
+            (F.col("gpos") - k).alias("gpos"), F.col("rnk").alias("rnk2")
+        )
+        joined = cur.join(shifted, "gpos", "left").fillna({"rnk2": 0})
+        ranked, _ = with_global_tie_rank(joined, ["rnk", "rnk2"], "nrnk")
+        cur = _ckpt(ranked.select("gpos", F.col("nrnk").alias("rnk")))
+        ranked.unpersist()
+        k *= 2
+    return cur, total
+
+
+def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered: the first SA_TOPK entries of the generalized suffix
+    array over documents (per-doc SA_DOC_PREFIX-char prefixes, sentinel
+    separated) — (sa_rank, gpos, doc_id, loc). The FULL array is built;
+    only the returned slice is bounded."""
+    chars, _ = _sa_chars(spark, sf_dir)
+    ranks, _ = suffix_ranks(chars)
+    top = ranks.filter(F.col("rnk") <= SA_TOPK)
+    return top.join(chars.select("gpos", "doc_id", "loc"), "gpos").select(
+        F.col("rnk").cast("long").alias("sa_rank"),
+        "gpos",
+        "doc_id",
+        "loc",
+    )
+
+
+def _lcp_col(s_a, s_b):
+    """Exact common-prefix length of two (already CAP-bounded) strings,
+    pure Catalyst: zip_with the char arrays to a boolean equality array
+    (null padding coalesces to False), array_position finds the first
+    mismatch; 0 = no mismatch = the shorter string is a prefix."""
+    eq = F.zip_with(
+        F.split(s_a, ""),
+        F.split(s_b, ""),
+        lambda x, y: F.coalesce(x == y, F.lit(False)),
+    )
+    first_bad = F.array_position(eq, F.lit(False))
+    return F.when(
+        first_bad == 0, F.least(F.length(s_a), F.length(s_b))
+    ).otherwise(first_bad - 1)
+
+
+def suffix_maxdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered: exact duplicated substrings ≥ SA_MINLEN chars between
+    (and within) documents, from adjacent suffix-array entries — any
+    repeated substring of length L makes some SA-adjacent pair share an
+    L-char prefix, so adjacent-pair LCP finds them ALL. Output is per
+    unordered doc pair: (doc_lo, doc_hi, max_dup_len, n_positions);
+    dup_len is capped at SA_LCP_CAP (== the registered doc prefix) and
+    truncates at document boundaries because LCP is computed on the
+    sentinel-free truncated texts."""
+    chars, docs_t = _sa_chars(spark, sf_dir)
+    ranks, _ = suffix_ranks(chars)
+    sa = ranks.join(chars.select("gpos", "doc_id", "loc"), "gpos")
+    a = sa.select(
+        "rnk",
+        F.col("doc_id").alias("doc_a"),
+        F.col("loc").alias("loc_a"),
+    )
+    b = sa.select(
+        (F.col("rnk") - 1).alias("rnk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("loc").alias("loc_b"),
+    )
+    ta = docs_t.select(F.col("doc_id").alias("doc_a"), F.col("dt").alias("dt_a"))
+    tb = docs_t.select(F.col("doc_id").alias("doc_b"), F.col("dt").alias("dt_b"))
+    pairs = (
+        a.join(b, "rnk")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"substring(dt_a, loc_a + 1, {SA_LCP_CAP})").alias("s_a"),
+            F.expr(f"substring(dt_b, loc_b + 1, {SA_LCP_CAP})").alias("s_b"),
+        )
+    )
+    scored = pairs.select(
+        "doc_a", "doc_b", _lcp_col(F.col("s_a"), F.col("s_b")).alias("dup_len")
+    ).filter(F.col("dup_len") >= SA_MINLEN)
+    return scored.groupBy(
+        F.least("doc_a", "doc_b").alias("doc_lo"),
+        F.greatest("doc_a", "doc_b").alias("doc_hi"),
+    ).agg(
+        F.max("dup_len").cast("long").alias("max_dup_len"),
+        F.count("*").cast("long").alias("n_positions"),
+    )
+
+
+# ------------------------------------------------------------ oracle SQL
+
+
+def _sa_cte(rounds: int = SA_ORACLE_ROUNDS) -> str:
+    """The doubling recursion, unrolled: r0 ranks by the first char,
+    r{j+1} ranks by (rank of first 2^j chars, rank of the next 2^j).
+    Extra rounds past all-distinct are rank-preserving no-ops, matching
+    Spark's early exit."""
+    parts = [
+        f"""docs AS MATERIALIZED (
+  SELECT doc_id,
+         substr(coalesce(text, ''), 1, {SA_DOC_PREFIX}) || chr(1) AS t
+  FROM documents
+), offs AS (
+  SELECT doc_id, t,
+         coalesce(sum(length(t)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS off
+  FROM docs
+), chars AS MATERIALIZED (
+  SELECT (off + i)::BIGINT AS gpos, doc_id, i::BIGINT AS loc,
+         substr(t, (i + 1)::INT, 1) AS c
+  FROM (SELECT doc_id, t, off, unnest(range(length(t))) AS i FROM offs)
+), r0 AS MATERIALIZED (
+  SELECT gpos, rank() OVER (ORDER BY c) AS rnk FROM chars
+)"""
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # one twice (self-join on gpos+2^j); inlined CTEs would re-derive the
+    # whole prefix chain per reference (measured 5.5 s/round vs 0.1 s).
+    for j in range(rounds):
+        parts.append(
+            f""", r{j + 1} AS MATERIALIZED (
+  SELECT a.gpos, rank() OVER (ORDER BY a.rnk, coalesce(b.rnk, 0)) AS rnk
+  FROM r{j} a LEFT JOIN r{j} b ON b.gpos = a.gpos + {2 ** j})"""
+        )
+    return "WITH " + "".join(parts)
+
+
+def suffix_array_sql(rounds: int = SA_ORACLE_ROUNDS) -> str:
+    return f"""{_sa_cte(rounds)}
+SELECT r.rnk::BIGINT AS sa_rank, c.gpos, c.doc_id, c.loc
+FROM r{rounds} r JOIN chars c USING (gpos)
+WHERE r.rnk <= {SA_TOPK}
+"""
+
+
+def suffix_maxdup_sql(rounds: int = SA_ORACLE_ROUNDS) -> str:
+    return f"""{_sa_cte(rounds)}
+, sa AS MATERIALIZED (
+  SELECT r.rnk, c.doc_id, c.loc
+  FROM r{rounds} r JOIN chars c USING (gpos)
+), txt AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, {SA_DOC_PREFIX}) AS dt
+  FROM documents
+), pairs AS (
+  SELECT substr(ta.dt, (a.loc + 1)::INT, {SA_LCP_CAP}) AS s_a,
+         substr(tb.dt, (b.loc + 1)::INT, {SA_LCP_CAP}) AS s_b,
+         a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sa a JOIN sa b ON b.rnk = a.rnk + 1
+       JOIN txt ta ON ta.doc_id = a.doc_id
+       JOIN txt tb ON tb.doc_id = b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         coalesce((SELECT min(i) - 1 FROM generate_series(1, {SA_LCP_CAP}) g(i)
+                   WHERE substr(s_a, i::INT, 1) <> substr(s_b, i::INT, 1)),
+                  least(length(s_a), length(s_b))) AS dup_len
+  FROM pairs
+)
+SELECT least(doc_a, doc_b) AS doc_lo, greatest(doc_a, doc_b) AS doc_hi,
+       max(dup_len)::BIGINT AS max_dup_len, count(*)::BIGINT AS n_positions
+FROM scored
+WHERE dup_len >= {SA_MINLEN}
+GROUP BY 1, 2
+"""
