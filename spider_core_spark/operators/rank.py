@@ -87,8 +87,12 @@ def with_global_rank(
 
 
 def with_global_tie_rank(
-    df: DataFrame, order_cols: list[str], out_col: str
-) -> tuple[DataFrame, int]:
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    total: int | None = None,
+    defer: bool = False,
+):
     """TIE-PRESERVING 1-based global rank (SQL ``rank()`` semantics: equal
     ``order_cols`` keys get the SAME rank, the next distinct key skips by
     the tie count). Built for iterated order-refinement passes — the
@@ -100,26 +104,50 @@ def with_global_tie_rank(
     equal keys in one partition (RangePartitioner buckets by key value), so
     global rank() = partition ROW-count offset + intra-partition rank() —
     rank() counts rows strictly before the first row of the tie group, and
-    all of a group's rows live in one partition. Returns
-    ``(df + out_col, total rows)``; big-path output is persisted (caller
-    unpersists after its action), small path is a plain window frame.
+    all of a group's rows live in one partition. Unlike ``with_global_rank``
+    the big-path intermediate is an EAGER ``localCheckpoint`` (the
+    ``operators/prefix.py`` contract): the driver-collected offsets are
+    keyed by ``spark_partition_id()`` of one materialization, and a frozen
+    checkpoint makes a recompute under re-sampled range boundaries
+    structurally impossible — a premature release fails loudly, never
+    silently corrupts.
+
+    Returns ``(out, total, release)``. ``release()`` (idempotent) drops the
+    call's staged blocks — call it AFTER your terminal action. With the
+    default ``defer=False`` the output is materialized and persisted before
+    returning; with ``defer=True`` the output is LAZY on top of the frozen
+    intermediate, for callers that immediately materialize it themselves
+    (e.g. into their own checkpoint) — one materialization instead of two
+    in a tight refinement loop. Pass ``total`` (the exact row count) to
+    skip the counting job when the caller already knows it.
     """
+    from spider_core_spark.operators.prefix import (
+        ReleaseHandle,
+        _jrdd_handles,
+        _persistent_ids,
+    )
+
     spark = df.sparkSession
     n = max(spark.sparkContext.defaultParallelism, 2)
 
     df = df.persist()
-    total = df.count()
+    if total is None:
+        total = df.count()
     if total <= SMALL_THRESHOLD:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         out = df.withColumn(out_col, F.rank().over(w).cast("long"))
-        out = out.persist()
+        if not defer:
+            out = out.persist()
+            out.count()
         df.unpersist(blocking=False)
-        return out, total
+        return out, total, ReleaseHandle(out.unpersist if not defer else lambda: None)
 
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    ids0 = _persistent_ids(spark)
+    ranged = ranged.localCheckpoint(eager=True)
+    ckpt_handles = _jrdd_handles(spark, _persistent_ids(spark) - ids0)
     counts = {
         r[_PID]: r["cnt"]
         for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
@@ -143,8 +171,13 @@ def with_global_tie_rank(
         )
         .drop(_PID, "__rank_off")
     )
+    df.unpersist(blocking=False)
+    if defer:
+        return out, acc, ReleaseHandle(
+            lambda: [h.unpersist() for h in ckpt_handles]
+        )
     out = out.persist()
     out.count()
-    ranged.unpersist()
-    df.unpersist()
-    return out, acc
+    for h in ckpt_handles:
+        h.unpersist()
+    return out, acc, ReleaseHandle(out.unpersist)

@@ -126,11 +126,11 @@ def suffix_ranks(
         stage_handle(ReleaseHandle(lambda: [h.unpersist() for h in handles]))
         return out
 
-    ranked, total = with_global_tie_rank(
-        chars.select("gpos", "c"), ["c"], "rnk"
+    ranked, total, rel = with_global_tie_rank(
+        chars.select("gpos", "c"), ["c"], "rnk", defer=True
     )
     if total > max_chars:
-        ranked.unpersist()
+        rel()
         raise ValueError(
             f"suffix_ranks: corpus is {total} chars > max_chars="
             f"{max_chars}; a single global suffix array past one shard's "
@@ -139,7 +139,7 @@ def suffix_ranks(
             f"max_chars explicitly"
         )
     cur = _ckpt(ranked.select("gpos", "rnk"))
-    ranked.unpersist()
+    rel()
 
     k = 1
     while k <= total:
@@ -152,9 +152,14 @@ def suffix_ranks(
             (F.col("gpos") - k).alias("gpos"), F.col("rnk").alias("rnk2")
         )
         joined = cur.join(shifted, "gpos", "left").fillna({"rnk2": 0})
-        ranked, _ = with_global_tie_rank(joined, ["rnk", "rnk2"], "nrnk")
+        # total is constant across rounds and _ckpt materializes the
+        # output immediately — defer skips the rank's own count +
+        # persist jobs (~2 of the ~5 jobs in a round)
+        ranked, _, rel = with_global_tie_rank(
+            joined, ["rnk", "rnk2"], "nrnk", total=total, defer=True
+        )
         cur = _ckpt(ranked.select("gpos", F.col("nrnk").alias("rnk")))
-        ranked.unpersist()
+        rel()
         k *= 2
     return cur, total
 

@@ -87,13 +87,14 @@ def test_tie_rank_semantics(spark, monkeypatch):
         [("b", 1), ("a", 2), ("a", 3), ("c", 4), ("a", 5)], "k string, id int"
     )
     for thresh in (1_000_000, 0):
-        monkeypatch.setattr(rank_mod, "SMALL_THRESHOLD", thresh)
-        out, total = with_global_tie_rank(df, ["k"], "rnk")
-        got = sorted((r["id"], r["rnk"]) for r in out.collect())
-        out.unpersist()
-        assert total == 5
-        # rank(): ties share a rank, next key skips by tie count
-        assert got == [(1, 4), (2, 1), (3, 1), (4, 5), (5, 1)]
+        for defer in (False, True):
+            monkeypatch.setattr(rank_mod, "SMALL_THRESHOLD", thresh)
+            out, total, release = with_global_tie_rank(df, ["k"], "rnk", defer=defer)
+            got = sorted((r["id"], r["rnk"]) for r in out.collect())
+            release()
+            assert total == 5
+            # rank(): ties share a rank, next key skips by tie count
+            assert got == [(1, 4), (2, 1), (3, 1), (4, 5), (5, 1)]
 
 
 def test_refusal_past_max_chars(spark, sf_dir):
