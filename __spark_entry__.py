@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "text_bpe_encode_udf",
     "text_suffix_array",
     "text_suffix_maxdup",
     "src_warc_roundtrip",
@@ -235,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apply the learned merges: per-doc token counts under the
         # trained subword vocabulary (one narrow pass + combinable agg)
         "text_bpe_encode": ta.bpe_encode,
+        # production transport for the same application: Arrow-batched
+        # mapInPandas dict-loop tokenizer over the same learned table
+        "text_bpe_encode_udf": ta.bpe_encode_udf,
         "ann_int8_topk": ts.ann_int8_topk,
         "ann_pq_topk": ts.ann_pq_topk,
         # IVFADC composition (coarse cells + residual-PQ ADC over only
@@ -361,6 +365,9 @@ def oracle_sql() -> dict[str, str]:
         "text_mixture_sample": ta.mixture_sample_sql(),
         "text_bpe_merges": ta.bpe_merges_sql(),
         "text_bpe_encode": ta.bpe_encode_sql(),
+        # same oracle on purpose: certifies the UDF transport produces
+        # the identical frame the declarative expression stack does
+        "text_bpe_encode_udf": ta.bpe_encode_sql(),
         "ann_int8_topk": ts.ANN_INT8_SQL,
         "ann_pq_topk": ts.ann_pq_sql(),
         "ann_ivfpq_topk": ts.ann_ivfpq_sql(),

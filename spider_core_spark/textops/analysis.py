@@ -2295,6 +2295,90 @@ GROUP BY doc_id
 """
 
 
+def bpe_encode_udf(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The PRODUCTION transport for BPE application (the swap the
+    ``bpe_encode`` scale contract promises): the same learned merge
+    table applied inside an Arrow-batched ``mapInPandas`` dict-loop
+    tokenizer instead of ``n_merges`` stacked replace expressions.
+
+    Output frame and semantics are bit-identical to ``bpe_encode`` —
+    per word, the merges fold sequentially IN TRAINING ORDER, each pass
+    the canonical greedy non-overlapping left-to-right merge (the
+    list-fold twin tests/test_sketch_dsir.py pins). Registered under
+    the driver gate with the SAME DuckDB oracle as ``bpe_encode``, so
+    the UDF transport itself is oracle-certified.
+
+    Why this scales where the expression stack does not: a stacked
+    plan grows O(n_merges) deep (catalyst analysis cost, codegen
+    limits ~ a few hundred merges); here the merge table is a plain
+    broadcast list (30k merges ≈ a few hundred KB pickled) and the
+    per-word cost is pruned two ways —
+      * a per-executor memo keyed by the distinct word (Zipf: most
+        corpus mass is a small vocabulary, so most words tokenize
+        from the dict, zero fold work);
+      * per un-memoized word, a merge pass runs only while both of
+        its symbols are present in the word's current symbol set
+        (set-membership skip), so a 30k-entry table costs ~the number
+        of merges that actually fire, not 30k scans.
+    One narrow corpus pass, Arrow-batched; the only shuffle is the
+    final map-side-combinable groupBy(doc_id) — the bpe_encode plan.
+    """
+    import pandas as pd
+
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in bpe_merges(spark, sf_dir, n_merges=n_merges)
+        .orderBy("iter")
+        .collect()
+    ]
+
+    def _tokenize(batches):
+        memo: dict[str, int] = {}
+
+        def n_sym(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            toks = list(word)
+            present = set(toks)
+            for a, b in merges:
+                if a not in present or b not in present:
+                    continue
+                out, i, n = [], 0, len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                if len(out) != n:
+                    toks = out
+                    present = set(toks)
+            memo[word] = len(toks)
+            return len(toks)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_words = n_tokens = 0
+                for w in text.split(" "):
+                    if w:
+                        n_words += 1
+                        n_tokens += n_sym(w)
+                rows.append((doc_id, n_words, n_tokens))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_bpe_tokens"]
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _tokenize,
+        schema="doc_id long, n_words long, n_bpe_tokens long",
+    )
+
+
 # ------------------------------------------- fixed-N stratified sampling
 # The rate-based sibling (corpus_sample_stratified) keeps a FRACTION per
 # language; mixture builders usually specify an exact COUNT ("40k docs

@@ -536,3 +536,35 @@ def test_bpe_encode_matches_python_twin(spark, tmp_path):
     # merges actually compress: fewer tokens than characters
     total_chars = sum(len(w) for t in texts for w in t.split(" "))
     assert sum(v[1] for v in got.values()) < total_chars
+
+
+def test_bpe_encode_udf_matches_expression_path(spark, tmp_path):
+    """The production Arrow-batched dict-loop tokenizer (bpe_encode_udf)
+    must produce the IDENTICAL frame as the declarative expression
+    stack (bpe_encode) — same learned table, same sequential-pass
+    greedy fold, transport swapped. Fixture includes repeated words
+    (memo path), empty-split artifacts, and a word where a merge's
+    symbols are present but never adjacent (set-membership skip that
+    must still be a no-op, not a wrong merge)."""
+    from spider_core_spark.textops.analysis import bpe_encode, bpe_encode_udf
+
+    texts = [
+        "the then there that other mother",
+        "in inner thin string ring bring",
+        "the the the  double  space",
+        "he t eh th",  # 't','h' present / not adjacent cases
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    expr = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(spark, str(tmp_path), n_merges=3).collect()
+    }
+    udf = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_udf(spark, str(tmp_path), n_merges=3).collect()
+    }
+    assert udf == expr and len(udf) == len(texts)
