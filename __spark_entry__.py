@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (The local pytest replica, tests/test_entry_queries.py, always runs all
 # entries regardless of this ordering.)
 _GATE_FRONT = [
+    "s10_robots_sitemaps",
     "text_bpe_encode_udf",
     "text_suffix_array",
     "text_suffix_maxdup",
@@ -146,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_robots_parse": dq.s7_robots_parse,
         "s8_url_canonicalize": dq.s8_url_canonicalize,
         "s9_sitemap_parse": dq.s9_sitemap_parse,
+        # full push-discovery chain: robots Sitemap: directives →
+        # fetched-blob resolution join → ordered frontier seeds
+        "s10_robots_sitemaps": dq.s10_robots_sitemaps,
         "p7_blocklist_filter": dq.p7_blocklist_filter,
         "u3_hll_registers": dq.u3_hll_registers,
         "u4_bloom_membership": dq.u4_bloom_membership,
@@ -292,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_robots_parse": dq.S7_SQL,
         "s8_url_canonicalize": dq.S8_SQL,
         "s9_sitemap_parse": dq.S9_SQL,
+        "s10_robots_sitemaps": dq.S10_SQL,
         "p7_blocklist_filter": dq.P7_SQL,
         "u3_hll_registers": dq.U3_SQL,
         "u4_bloom_membership": dq.U4_SQL,

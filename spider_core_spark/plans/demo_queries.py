@@ -1326,6 +1326,132 @@ FROM locs
 """
 
 
+# --- S10: robots.txt Sitemap directives → frontier seeds ----------------------
+# The full push-discovery chain (robots.org + sitemaps.org, public):
+# robots.txt advertises sitemaps via group-independent `Sitemap:` lines;
+# the crawler resolves each advertised URL against its own fetched copy
+# of that sitemap and seeds the frontier from the <loc> entries. S9
+# certifies the sitemap PARSE; this certifies the whole chain — robots
+# body line parse (comment strip, case-insensitive key, colon guard),
+# directive ordering per host, the inner blob-resolution join
+# (advertised-but-unfetched sitemaps drop, like links to unfetched
+# pages), then the S9 parse with the directive rank carried through.
+# Fixture: hosts from orders (o_custkey % 20); each host's robots body
+# advertises sitemap_a.xml and sitemap_b.xml (mixed-case key + trailing
+# comment on the second), blobs split orders by o_orderkey % 20 — hosts
+# with no 'a' orders exercise the unfetched-sitemap drop branch.
+#
+# Scale: directive extraction touches robots rows only (a per-host
+# window over one body's lines); blob resolution is one equi-join whose
+# directive side broadcasts; parsing is partition-parallel per blob.
+
+
+def s10_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 20).cast("string"), F.lit(".test")
+    )
+    entries = o.select(
+        host.alias("host"),
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("part"),
+        F.concat(
+            F.lit("<url><loc>http://"),
+            host,
+            F.lit("/o"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</loc></url>"),
+        ).alias("entry"),
+    )
+    blobs = entries.groupBy("host", "part").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+            F.lit("</urlset>"),
+        ).alias("text")
+    )
+    sm_pages = blobs.select(
+        F.concat(
+            F.lit("http://"),
+            F.col("host"),
+            F.lit("/sitemap_"),
+            F.col("part"),
+            F.lit(".xml"),
+        ).alias("url"),
+        "text",
+    )
+    rb_pages = (
+        blobs.select("host")
+        .distinct()
+        .select(
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
+                "url"
+            ),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nSitemap: http://"),
+                F.col("host"),
+                F.lit("/sitemap_a.xml\nsitemap: http://"),
+                F.col("host"),
+                F.lit("/sitemap_b.xml # primary mirror"),
+            ).alias("text"),
+        )
+    )
+    from spider_core_spark.plans.discovery import sitemaps_from_robots
+
+    return sitemaps_from_robots(rb_pages.unionByName(sm_pages))
+
+
+S10_SQL = """
+WITH entries AS (
+  SELECT 'h' || (o_custkey % 20) || '.test' AS host,
+         CASE WHEN o_orderkey % 20 = 0 THEN 'a' ELSE 'b' END AS part,
+         '<url><loc>http://h' || (o_custkey % 20) || '.test/o'
+           || o_orderkey || '</loc></url>' AS entry
+  FROM orders WHERE o_orderkey % 10 = 0
+), blobs AS (
+  SELECT host, part,
+         '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>'
+           AS xml
+  FROM entries GROUP BY 1, 2
+), bodies AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+           || 'Sitemap: http://' || host || '/sitemap_a.xml' || chr(10)
+           || 'sitemap: http://' || host
+           || '/sitemap_b.xml # primary mirror' AS body
+  FROM (SELECT DISTINCT host FROM blobs)
+), rawlines AS (
+  SELECT host, generate_subscripts(ls, 1) AS line_no, unnest(ls) AS raw
+  FROM (SELECT host, string_split(body, chr(10)) AS ls FROM bodies)
+), kv AS (
+  SELECT host, line_no,
+         lower(trim(split_part(line, ':', 1))) AS key,
+         trim(regexp_replace(line, '^[^:]*:', '')) AS value
+  FROM (SELECT host, line_no, trim(split_part(raw, '#', 1)) AS line
+        FROM rawlines)
+  WHERE line LIKE '%:%'
+), su AS (
+  SELECT host,
+         (row_number() OVER (PARTITION BY host ORDER BY line_no) - 1)::BIGINT
+           AS sm_seq,
+         value AS sitemap_url
+  FROM kv WHERE key = 'sitemap' AND value <> ''
+), sm_pages AS (
+  SELECT 'http://' || host || '/sitemap_' || part || '.xml' AS sitemap_url,
+         xml
+  FROM blobs
+), locs AS (
+  SELECT su.host, su.sm_seq,
+         regexp_extract_all(p.xml, '<loc>([^<]+)</loc>', 1) AS ls
+  FROM su JOIN sm_pages p ON su.sitemap_url = p.sitemap_url
+)
+SELECT host, sm_seq, (generate_subscripts(ls, 1) - 1)::BIGINT AS seq,
+       unnest(ls) AS url
+FROM locs
+"""
+
+
 # --- G1: link-graph degree histogram ------------------------------------------
 # The first report every web-graph pipeline runs (Broder et al. 2000,
 # "Graph structure in the web"): in/out-degree distributions in log2

@@ -44,9 +44,11 @@ def parse_robots(pages: DataFrame, text_col: str = "text") -> DataFrame:
             urlfn.host_col(F.col("url")).alias("host"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
         )
-        # strip inline comments + whitespace, lowercase the key
+        # strip inline comments + whitespace, lowercase the key; colon
+        # required (the twin's `':' not in line` skip) — a bare keyword
+        # line must not parse as a directive with itself as value
         .withColumn("line", F.trim(F.substring_index("line", "#", 1)))
-        .filter(F.col("line") != "")
+        .filter(F.col("line").contains(":"))
         .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
         .withColumn(
             "value",
@@ -102,6 +104,64 @@ def parse_robots(pages: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("max_per_epoch"),
     )
     return rules.select("host", "disallow", "crawl_delay_ms", "max_per_epoch")
+
+
+def sitemap_urls(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """robots.txt ``Sitemap:`` directives → (host, sm_seq, sitemap_url).
+
+    Per the robots/sitemaps.org convention the Sitemap field is
+    GROUP-INDEPENDENT — honored wherever it appears, regardless of the
+    surrounding ``User-agent`` group — so unlike ``parse_robots`` no
+    group tagging happens: directives emit in document order per host.
+    The per-host ordering window is bounded by a single robots body's
+    line count (the 500 KiB robots convention caps it), never
+    corpus-sized; extraction itself is a narrow per-body pass."""
+    lines = (
+        robots_pages(pages)
+        .select(
+            urlfn.host_col(F.col("url")).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("line", F.trim(F.substring_index("line", "#", 1)))
+        # colon required (the twin's `':' not in line` skip): a bare
+        # keyword line must not parse as a directive with itself as value
+        .filter(F.col("line").contains(":"))
+        .withColumn("key", F.lower(F.trim(F.substring_index("line", ":", 1))))
+        .withColumn(
+            "value", F.trim(F.regexp_replace("line", r"^[^:]*:", ""))
+        )
+        .filter((F.col("key") == "sitemap") & (F.col("value") != ""))
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    return lines.select(
+        "host",
+        (F.row_number().over(w) - 1).cast("long").alias("sm_seq"),
+        F.col("value").alias("sitemap_url"),
+    )
+
+
+def sitemap_urls_py(host_bodies: dict[str, str]) -> list[dict]:
+    """Pure-Python twin of sitemap_urls (oracle for the parity test)."""
+    out = []
+    for host, body in host_bodies.items():
+        seq = 0
+        for raw in body.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, value = line.partition(":")
+            if key.strip().lower() == "sitemap" and value.strip():
+                out.append(
+                    {
+                        "host": host,
+                        "sm_seq": seq,
+                        "sitemap_url": value.strip(),
+                    }
+                )
+                seq += 1
+    return out
 
 
 def parse_robots_py(host_bodies: dict[str, str]) -> list[dict]:

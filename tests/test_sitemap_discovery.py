@@ -69,3 +69,67 @@ def test_sitemap_seeded_crawl_fetches_exact_set(spark, tmp_path):
     ).run(pages, None)
     fetched = {r["url"] for r in res.items().select("url").collect()}
     assert fetched == want
+
+
+def test_sitemaps_from_robots_chain(spark):
+    """robots Sitemap: directives → fetched-blob resolution → ordered
+    entries; twin parity on the directive extraction, the unfetched
+    sitemap drops, the bare-keyword line (no colon) is ignored."""
+    from spider_core_spark.sources import robots as rb
+
+    bodies = {
+        "a.test": (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: http://a.test/sm1.xml\n"
+            "sitemap\n"  # bare keyword, no colon: must NOT parse
+            "sitemap: http://a.test/sm2.xml # mirror\n"
+            "Sitemap: http://a.test/ghost.xml"  # advertised, unfetched
+        ),
+        "b.test": "User-agent: *\nSITEMAP: http://b.test/sm.xml",
+        "c.test": "User-agent: *\nDisallow: /x",  # no sitemaps at all
+    }
+    pages = spark.createDataFrame(
+        [(f"http://{h}/robots.txt", body) for h, body in bodies.items()]
+        + [
+            (
+                "http://a.test/sm1.xml",
+                "<urlset><url><loc>http://a.test/1</loc></url>"
+                "<url><loc>http://a.test/2</loc></url></urlset>",
+            ),
+            (
+                "http://a.test/sm2.xml",
+                "<urlset><url><loc>http://a.test/3</loc></url></urlset>",
+            ),
+            (
+                "http://b.test/sm.xml",
+                "<urlset><url><loc>http://b.test/1</loc></url></urlset>",
+            ),
+        ],
+        "url string, text string",
+    )
+
+    got_su = sorted(
+        tuple(r) for r in rb.sitemap_urls(pages).collect()
+    )
+    want_su = sorted(
+        (d["host"], d["sm_seq"], d["sitemap_url"])
+        for d in rb.sitemap_urls_py(bodies)
+    )
+    assert got_su == want_su
+    assert ("a.test", 1, "http://a.test/sm2.xml") in got_su  # comment stripped
+    assert not any(u == "sitemap" for _, _, u in got_su)  # colon guard
+
+    rows = sorted(
+        tuple(r) for r in discovery.sitemaps_from_robots(pages).collect()
+    )
+    assert rows == [
+        ("a.test", 0, 0, "http://a.test/1"),
+        ("a.test", 0, 1, "http://a.test/2"),
+        ("a.test", 1, 0, "http://a.test/3"),
+        ("b.test", 0, 0, "http://b.test/1"),
+    ]  # ghost.xml (unfetched) and c.test (no directives) contribute nothing
+
+    reqs = discovery.robots_sitemap_start_requests(pages)
+    assert [r["url"] for r in reqs] == [u for _, _, _, u in rows]
+    assert [r["priority"] for r in reqs] == [0, 1, 2, 3]
+    assert all(r["meta"] == {"discovered": "robots-sitemap"} for r in reqs)
