@@ -70,22 +70,10 @@ _GATE_FRONT = [
     "u5_cuckoo_membership",
     "text_mixture_sample",
     "ann_ivfpq_topk",
-    "ann_ivf_topk",
     "ann_int8_topk",
     "ann_pq_topk",
-    "mm_features",
-    "mm_frame_sample",
     "mm_patchify",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_vocab_topk",
-    "text_corpus_keepers",
     "text_corpus_keepers_neardup",
-    "text_corpus_sample",
-    "text_repetition",
-    "text_corpus_stats",
     "text_decontaminate",
     "text_boilerplate",
     "text_pii_scrub",
@@ -110,6 +98,19 @@ _GATE_FRONT = [
     "text_sample_fixed_n",
     "text_bpe_merges",
     "text_bpe_encode",
+    "s7_robots_parse",
+    "ann_ivf_topk",
+    "mm_features",
+    "mm_frame_sample",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "text_corpus_keepers",
+    "text_corpus_sample",
+    "text_repetition",
+    "text_corpus_stats",
 ]
 
 

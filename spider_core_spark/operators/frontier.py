@@ -153,16 +153,33 @@ def select_wave(
     j = None
     robots_dropped = 0
     if cfg.use_robots and robots is not None:
-        rb = F.broadcast(
-            robots.select("host", "disallow", "max_per_epoch", "crawl_delay_ms")
-        )
+        has_allow = "allow" in robots.columns
+        rb_cols = ["host", "disallow", "max_per_epoch", "crawl_delay_ms"]
+        if has_allow:
+            rb_cols.insert(2, "allow")
+        rb = F.broadcast(robots.select(*rb_cols))
         j = eligible.join(rb, "host", "left").withColumn(
             "_path", path_col(F.col("url"))
         )
-        blocked_pred = F.when(
-            F.col("disallow").isNotNull(),
-            F.exists("disallow", lambda d: F.col("_path").startswith(d)),
-        ).otherwise(F.lit(False))
+
+        # longest-match precedence (Google's documented robots rule): the
+        # most specific matching prefix wins; a tie goes to allow. With no
+        # allow rules the longest matching allow is 0, so "longest
+        # disallow > 0" degenerates to the old exists() semantics exactly.
+        def _longest_match(col: F.Column) -> F.Column:
+            return F.coalesce(
+                F.aggregate(
+                    F.filter(col, lambda p: F.col("_path").startswith(p)),
+                    F.lit(0),
+                    lambda acc, p: F.greatest(acc, F.length(p)),
+                ),
+                F.lit(0),
+            )
+
+        allow_len = (
+            _longest_match(F.col("allow")) if has_allow else F.lit(0)
+        )
+        blocked_pred = _longest_match(F.col("disallow")) > allow_len
         j = j.withColumn("_robots_block", blocked_pred)
         if detail:
             j = j.persist()

@@ -112,7 +112,8 @@ def simulate(
     cfg: SimConfig | None = None,
 ) -> SimResult:
     """pages: url → {status:int, html:bytes, lang:str}; robots: host →
-    {disallow:[prefix], max_per_epoch:int}."""
+    {disallow:[prefix], allow:[prefix], max_per_epoch:int} — blocking is
+    longest-match precedence between disallow and allow, ties to allow."""
     import re
 
     cfg = cfg or SimConfig()
@@ -182,12 +183,30 @@ def simulate(
             kept = []
             for r in eligible:
                 rules = robots.get(r.host)
-                if rules and any(
-                    path_py(r.url).startswith(p) for p in rules.get("disallow", [])
-                ):
-                    robots_dropped += 1
-                else:
-                    kept.append(r)
+                if rules:
+                    # longest-match precedence, ties to allow (mirrors
+                    # operators/frontier.py)
+                    path = path_py(r.url)
+                    dis = max(
+                        (
+                            len(p)
+                            for p in rules.get("disallow", [])
+                            if path.startswith(p)
+                        ),
+                        default=0,
+                    )
+                    alw = max(
+                        (
+                            len(p)
+                            for p in rules.get("allow", [])
+                            if path.startswith(p)
+                        ),
+                        default=0,
+                    )
+                    if dis > alw:
+                        robots_dropped += 1
+                        continue
+                kept.append(r)
             eligible = kept
 
         # frontier invariant (see operators/frontier.py): enqueue-time dedup

@@ -423,6 +423,7 @@ def s7_robots_parse(spark, sf_dir):
         F.lit("User-agent: googlebot\nDisallow: /secret\n"),
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /p/"), key.cast("string"), F.lit("\n"),
+        F.lit("Allow: /p/"), key.cast("string"), F.lit("/pub   # carve-out\n"),
         F.lit("Disallow: /tmp/   # scratch\n"),
         F.when(
             key % 2 == 0,
@@ -449,6 +450,7 @@ def s7_robots_parse(spark, sf_dir):
     return rules.select(
         "host",
         F.concat_ws("|", "disallow").alias("disallow_str"),
+        F.concat_ws("|", "allow").alias("allow_str"),
         F.coalesce("crawl_delay_ms", F.lit(-1)).cast("int").alias(
             "crawl_delay_ms"
         ),
@@ -461,6 +463,7 @@ def s7_robots_parse(spark, sf_dir):
 S7_SQL = """
 SELECT lower(replace(n_name, ' ', '-')) || '.test' AS host,
        '/p/' || n_nationkey || '|/tmp/' AS disallow_str,
+       '/p/' || n_nationkey || '/pub' AS allow_str,
        (CASE WHEN n_nationkey % 2 = 0
              THEN (n_nationkey % 5 + 1) * 1000 ELSE -1 END)::INT
          AS crawl_delay_ms,

@@ -78,6 +78,10 @@ ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        # Allow: prefixes — longest-match precedence vs disallow (Google's
+        # documented rule; ties go to allow). Optional: a robots frame
+        # without the column behaves as allow=[] everywhere.
+        T.StructField("allow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay_ms", T.IntegerType(), True),
         T.StructField("max_per_epoch", T.IntegerType(), True),
     ]

@@ -13,8 +13,9 @@ loop. Semantics (deliberately minimal, documented):
 
 - only the `User-agent: *` group is honored (directives after a
   `User-agent: *` line up to the next User-agent line);
-- `Disallow:` values collected as prefix rules ('' i.e. allow-all is
-  skipped); `Crawl-delay:` seconds → crawl_delay_ms;
+- `Disallow:` / `Allow:` values collected as prefix rules ('' is
+  skipped); enforcement is longest-match precedence with ties to allow
+  (operators/frontier.py); `Crawl-delay:` seconds → crawl_delay_ms;
 - `max-per-epoch:` is a non-standard extension this engine reads from
   fixtures (same key select_wave uses); absent → NULL (engine default);
 - directive keys are case-insensitive; inline `#` comments stripped.
@@ -89,6 +90,14 @@ def parse_robots(pages: DataFrame, text_col: str = "text") -> DataFrame:
                 )
             )
         ).alias("disallow"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    (F.col("key") == "allow") & (F.col("value") != ""),
+                    F.col("value"),
+                )
+            )
+        ).alias("allow"),
         (
             F.max(
                 F.when(
@@ -103,7 +112,9 @@ def parse_robots(pages: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("key") == "max-per-epoch", F.col("value").cast("int"))
         ).alias("max_per_epoch"),
     )
-    return rules.select("host", "disallow", "crawl_delay_ms", "max_per_epoch")
+    return rules.select(
+        "host", "disallow", "allow", "crawl_delay_ms", "max_per_epoch"
+    )
 
 
 def sitemap_urls(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -168,7 +179,7 @@ def parse_robots_py(host_bodies: dict[str, str]) -> list[dict]:
     """Pure-Python twin of parse_robots (oracle for the parity test)."""
     out = []
     for host, body in host_bodies.items():
-        disallow, delay, mpe = [], None, None
+        disallow, allow, delay, mpe = [], [], None, None
         ua = None
         for raw in body.split("\n"):
             line = raw.split("#", 1)[0].strip()
@@ -183,6 +194,8 @@ def parse_robots_py(host_bodies: dict[str, str]) -> list[dict]:
                 continue
             if key == "disallow" and value:
                 disallow.append(value)
+            elif key == "allow" and value:
+                allow.append(value)
             elif key == "crawl-delay":
                 d = int(float(value) * 1000)
                 delay = d if delay is None else max(delay, d)
@@ -193,6 +206,7 @@ def parse_robots_py(host_bodies: dict[str, str]) -> list[dict]:
             {
                 "host": host,
                 "disallow": sorted(disallow),
+                "allow": sorted(allow),
                 "crawl_delay_ms": delay,
                 "max_per_epoch": mpe,
             }

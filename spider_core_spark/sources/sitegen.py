@@ -212,6 +212,9 @@ def gen_robots(n_sites: int, seed: int = 42) -> list[dict]:
             {
                 "host": f"site{s}.test",
                 "disallow": ["/private"],
+                # longest-match carve-out on some hosts: /private/pub is
+                # crawlable even though /private is not
+                "allow": ["/private/pub"] if s % 3 == 0 else [],
                 "crawl_delay_ms": 100 * (1 + rng.randrange(5)),
                 # tight budget on a couple of hosts → politeness deferral path
                 "max_per_epoch": 5 if s % 5 == 1 else 100_000,

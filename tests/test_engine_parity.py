@@ -24,7 +24,8 @@ def tiny_site():
     }
     seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
     robots = {
-        r["host"]: {"disallow": r["disallow"], "max_per_epoch": r["max_per_epoch"]}
+        r["host"]: {"disallow": r["disallow"], "allow": r["allow"],
+                    "max_per_epoch": r["max_per_epoch"]}
         for r in sitegen.gen_robots(N_SITES, SEED)
     }
     return rows, pages, seeds, robots
@@ -149,6 +150,7 @@ def test_crawl_delay_and_quota_parity(spark, tiny_site, tmp_path_factory):
     robots = {
         r["host"]: {
             "disallow": r["disallow"],
+            "allow": r["allow"],
             "max_per_epoch": r["max_per_epoch"],
             "crawl_delay_ms": r["crawl_delay_ms"],
         }

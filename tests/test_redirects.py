@@ -39,7 +39,8 @@ def redir_site():
     }
     seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
     robots = {
-        r["host"]: {"disallow": r["disallow"], "max_per_epoch": r["max_per_epoch"]}
+        r["host"]: {"disallow": r["disallow"], "allow": r["allow"],
+                    "max_per_epoch": r["max_per_epoch"]}
         for r in sitegen.gen_robots(N_SITES, SEED)
     }
     n_redirects = sum(1 for r in rows if r.get("location"))

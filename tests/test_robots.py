@@ -14,6 +14,7 @@ BODIES = {
         "# global rules\n"
         "User-agent: *\n"
         "Disallow: /private/\n"
+        "Allow: /private/pub/   # carve-out\n"
         "Disallow: /tmp/   # scratch\n"
         "Crawl-delay: 2\n"
         "max-per-epoch: 3\n"
@@ -42,24 +43,32 @@ def test_parse_robots_matches_python_twin(spark):
     got = {
         r["host"]: (
             list(r["disallow"]),
+            list(r["allow"]),
             r["crawl_delay_ms"],
             r["max_per_epoch"],
         )
         for r in rb.parse_robots(_pages_df(spark)).collect()
     }
     exp = {
-        d["host"]: (d["disallow"], d["crawl_delay_ms"], d["max_per_epoch"])
+        d["host"]: (
+            d["disallow"],
+            d["allow"],
+            d["crawl_delay_ms"],
+            d["max_per_epoch"],
+        )
         for d in rb.parse_robots_py(BODIES)
     }
     # hosts with no *-group directives produce no Spark rows; the python
     # twin emits empty-rule rows — align on the union with empty defaults
     for h in exp:
-        g = got.get(h, ([], None, None))
+        g = got.get(h, ([], [], None, None))
         assert g == exp[h], (h, g, exp[h])
     # spot checks
-    assert exp["a.test"] == (["/private/", "/tmp/"], 2000, 3)
-    assert exp["b.test"] == ([], 500, None)
-    assert exp["c.test"] == ([], None, None)  # only the googlebot group
+    assert exp["a.test"] == (
+        ["/private/", "/tmp/"], ["/private/pub/"], 2000, 3
+    )
+    assert exp["b.test"] == ([], [], 500, None)
+    assert exp["c.test"] == ([], [], None, None)  # only the googlebot group
 
 
 def test_parsed_robots_drive_crawl_politeness(spark, tmp_path):
@@ -92,3 +101,61 @@ def test_parsed_robots_drive_crawl_politeness(spark, tmp_path):
     assert order.filter(F.col("url").rlike(r"/p/1(\d|$)")).count() == 0
     per = order.groupBy("epoch", "host").count().collect()
     assert per and all(r["count"] <= 4 for r in per)
+
+
+def test_allow_longest_match_engine_vs_simulator(spark, tmp_path):
+    """Allow: carve-outs with longest-match precedence: /private is
+    blocked but /private/pub/* crawls; an allow that TIES a disallow
+    wins; engine and simulator agree row-for-row."""
+    from spider_core_spark import CrawlConfig, CrawlEngine, Spider
+    from spider_core_spark.oracle.simulator import SimConfig, simulate
+
+    urls = [
+        "https://s.test/",                 # seed page, links to all below
+        "https://s.test/private/a",        # blocked (disallow only)
+        "https://s.test/private/pub/ok",   # allowed (longer allow match)
+        "https://s.test/private/pub",      # allowed (exact allow prefix)
+        "https://s.test/tie",              # allow == disallow length: allow
+        "https://s.test/open",             # no rule at all
+    ]
+    links = urls[1:]
+    html = "<html>" + "".join(
+        f'<a href="{u}">x</a>' for u in links
+    ) + "</html>"
+    rows = [
+        (urls[0], None, html.encode(), "root page", "en", 200),
+    ] + [
+        (u, None, b"<html></html>", "leaf", "en", 200) for u in links
+    ]
+    pages_py = {
+        r[0]: {"status": r[5], "html": r[2], "lang": r[4]} for r in rows
+    }
+    pages = spark.createDataFrame(rows, schemas.PAGES)
+    rules = {
+        "disallow": ["/private/", "/tie"],
+        "allow": ["/private/pub", "/tie"],
+        "max_per_epoch": None,
+        "crawl_delay_ms": None,
+    }
+    robots_df = spark.createDataFrame(
+        [("s.test", rules["disallow"], rules["allow"], None, None)],
+        schemas.ROBOTS,
+    )
+    sim = simulate(
+        pages_py, [urls[0]], {"s.test": rules}, SimConfig(max_epochs=4)
+    )
+    res = CrawlEngine(
+        spark,
+        Spider(start_urls=[urls[0]]),
+        CrawlConfig(workdir=str(tmp_path / "run"), max_epochs=4),
+    ).run(pages, robots=robots_df)
+    got = {r["url"] for r in res.order().select("url").collect()}
+    want = {u for o in sim.orders.values() for u in o}
+    assert got == want
+    assert "https://s.test/private/a" not in got
+    assert {
+        "https://s.test/private/pub/ok",
+        "https://s.test/private/pub",
+        "https://s.test/tie",
+        "https://s.test/open",
+    } <= got

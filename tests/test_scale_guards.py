@@ -175,7 +175,7 @@ def test_crawl_delay_caps_host_budget(spark, tmp_path):
         .collect()
     ]
     robots = spark.createDataFrame(
-        [("site0.test", [], 2000, None), ("site1.test", [], 500, None)],
+        [("site0.test", [], [], 2000, None), ("site1.test", [], [], 500, None)],
         schemas.ROBOTS,
     )
     res = CrawlEngine(

@@ -62,9 +62,9 @@ def test_streaming_respects_robots_and_politeness(spark, tmp_path_factory):
     seeds = [s["url"] for s in sitegen.gen_seeds(N_SITES)]
     blocked_host = "site0.test"
     robots = spark.createDataFrame(
-        [(blocked_host, ["/"], None, None),
-         ("site1.test", [], None, 2),
-         ("site2.test", [], None, 2)],
+        [(blocked_host, ["/"], [], None, None),
+         ("site1.test", [], [], None, 2),
+         ("site2.test", [], [], None, 2)],
         sch.ROBOTS,
     )
     out = StreamingCrawlEngine(
@@ -139,9 +139,9 @@ def test_streaming_starvation_guard_parks_and_terminates(
     starved = "site0.test"
     robots = spark.createDataFrame(
         [
-            (starved, [], None, 0),  # budget 0: never admitted
-            ("site1.test", [], None, None),
-            ("site2.test", [], None, None),
+            (starved, [], [], None, 0),  # budget 0: never admitted
+            ("site1.test", [], [], None, None),
+            ("site2.test", [], [], None, None),
         ],
         schemas.ROBOTS,
     )
