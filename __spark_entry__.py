@@ -54,11 +54,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-gate rotation (round-4 verdict "What's missing" #1): the driver
 # checks the first ~50 dict entries per round, so a static ordering left
 # 27 registered queries without a driver CORRECTNESS row across rounds
-# 1-4. These keys — everything absent from CORRECTNESS_r04 plus this
-# round's additions — are emitted FIRST so CORRECTNESS_r05 ∪ r04 covers
-# the whole registry; the r4-checked core follows in its original order.
-# (The local pytest replica, tests/test_entry_queries.py, always runs all
-# entries regardless of this ordering.)
+# 1-4. Ordering here: the 39 never-driver-checked ids first (everything
+# absent from CORRECTNESS_r01-r04, including this round's additions),
+# then s7_robots_parse (changed this round — gained allow_str), then the
+# 12 ids whose only driver rows are from r1-r3 — so CORRECTNESS_r05 ∪
+# r04 covers the whole registry even at a hard 50-query cap, with the
+# stalest re-checks next in line. The r4-checked core follows in its
+# original order. (The local pytest replica, tests/test_entry_queries.py,
+# always runs all entries regardless of this ordering.)
 _GATE_FRONT = [
     "s10_robots_sitemaps",
     "text_bpe_encode_udf",
