@@ -18,7 +18,9 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    return read_parquet_spread(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --- F0/P1/S1-S4: seed injection + URL normalize/fingerprint/host ---------
@@ -1129,7 +1131,7 @@ F7_TOPK = 200
 
 
 def f7_quality_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     from spider_core_spark.textops.analysis import _stop_hits_spark
 
     host_q = (

@@ -172,7 +172,9 @@ def warc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    docs = read_parquet_spread(spark, os.path.join(sf_dir, "documents.parquet"))
     is_redir = F.pmod(F.col("doc_id"), F.lit(7)) == 0
     did = F.col("doc_id").cast("string")
     pages = docs.select(

@@ -22,7 +22,9 @@ BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    return read_parquet_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _stop_hits_spark(lang: str) -> str:
@@ -2136,17 +2138,27 @@ def bpe_merges(
         _persistent_ids,
     )
 
+    # train on the DISTINCT-WORD frequency table (the classical Sennrich
+    # formulation): identical pair counts — every occurrence of a pair in
+    # a word instance = (pairs in the distinct word) × (word count) — and
+    # the same argmax/tiebreak, but each round's explode + merge pass
+    # touches |vocab| rows instead of |corpus words| (Zipf: orders of
+    # magnitude fewer), and the per-round checkpoint shrinks to match
     words = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("w")
     )
-    seq = words.select(F.expr(_bpe_chars_spark("w")).alias("seq"))
+    seq = words.groupBy("w").agg(F.count("*").alias("cnt")).select(
+        F.expr(_bpe_chars_spark("w")).alias("seq"), "cnt"
+    )
     merges: list[tuple[int, str, int]] = []
     prev_ckpt: list = []  # previous round's checkpoint RDD handles
     for it in range(1, n_merges + 1):
         top = (
-            seq.select(F.explode(_bpe_pairs(F.col("seq"))).alias("pair"))
+            seq.select(
+                F.explode(_bpe_pairs(F.col("seq"))).alias("pair"), "cnt"
+            )
             .groupBy("pair")
-            .agg(F.count("*").cast("long").alias("c"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
             .orderBy(F.desc("c"), F.asc("pair"))
             .limit(1)
             .collect()[0]
@@ -2155,7 +2167,7 @@ def bpe_merges(
         if it == n_merges:
             break  # the post-final-merge sequence is never read
         nxt = seq.select(
-            _bpe_apply_spark(F.col("seq"), top["pair"]).alias("seq")
+            _bpe_apply_spark(F.col("seq"), top["pair"]).alias("seq"), "cnt"
         )
         # eager checkpoint: round it's replaces become stored data, so
         # round it+1 runs ONE corpus pass, not it stacked ones (linear)
@@ -2250,11 +2262,21 @@ def bpe_encode(
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
     )
+    # tokenize each DISTINCT word once (Zipf: the stacked replaces and
+    # the char-join expression run |vocab| times, not once per word
+    # instance), then attach the per-word symbol count back with a
+    # broadcast join — n_sym is a pure function of the word, so per-doc
+    # sums are identical to the per-instance evaluation
     seq = F.expr(_bpe_chars_spark("w"))
     for pair in merges:  # stacked narrow expressions, one pass
         seq = _bpe_apply_spark(seq, pair)
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select("w", F.size(F.split(seq, " ")).alias("n_sym"))
+    )
     return (
-        words.select("doc_id", F.size(F.split(seq, " ")).alias("n_sym"))
+        words.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
@@ -2364,7 +2386,10 @@ def bpe_encode_udf(
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n_words = n_tokens = 0
-                for w in text.split(" "):
+                # NULL text arrives as None: treat as empty, matching the
+                # declarative bpe_encode (split(NULL) drops the row's
+                # words) instead of raising in the worker (r5 ADVICE #1)
+                for w in (text or "").split(" "):
                     if w:
                         n_words += 1
                         n_tokens += n_sym(w)

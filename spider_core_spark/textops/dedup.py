@@ -92,7 +92,9 @@ def _h64_spark(expr: str, seed: int) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    return read_parquet_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------- exact
@@ -768,8 +770,10 @@ def embedding_neardup(
     any label block exceeds ``block_cap`` (loud failure instead of a
     quadratic melt at 10^10 vectors); unbounded corpora should use
     embedding_ivf_neardup (k ≈ √N cells, SCALE.md sizing)."""
+    from spider_core_spark.sources.scan import read_parquet_spread
+
     e = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_spread(spark, f"{sf_dir}/embeddings.parquet")
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
     )
     biggest = e.groupBy("label").count().agg(F.max("count")).collect()[0][0]
@@ -845,8 +849,10 @@ def embedding_ivf_neardup(
     (ivf_k_for), the balance point between the N·K assign pass and the
     N²/K within-cell pair pass. A fixed small K at 10^10 vectors makes
     cells N/K-sized and the pair pass quadratic — K must scale."""
+    from spider_core_spark.sources.scan import read_parquet_spread
+
     e = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_spread(spark, f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     if k is None:

@@ -40,7 +40,9 @@ CHUNK_TOKENS = 2048
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    return read_parquet_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def pack_sequences(

@@ -57,8 +57,10 @@ _QV_DUCK = (
 
 
 def _qemb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spider_core_spark.sources.scan import read_parquet_spread
+
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_spread(spark, f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("qv", F.expr(_QV_SPARK))
     )
@@ -95,6 +97,53 @@ def _best_centroid(cents: list[tuple[int, list[int]]]) -> F.Column:
         ),
     )
     return F.array_min(scored)
+
+
+def _cents_df(spark: SparkSession, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Centroid table as a tiny broadcastable DataFrame (K rows)."""
+    return spark.createDataFrame(
+        [(int(cid), [int(x) for x in qc]) for cid, qc in cents],
+        "cid long, qc array<bigint>",
+    )
+
+
+def _qdist_col() -> F.Column:
+    """Exact integer squared-L2 between the row's ``qv`` and the joined
+    centroid's ``qc`` — the same arithmetic as _best_centroid."""
+    return F.aggregate(
+        F.zip_with("qv", "qc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_join(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast cross join + combinable
+    min(struct(qdist, cid)) instead of a K×dim literal expression tree:
+    identical exact-integer argmin and cid tiebreak (struct ordering is
+    lexicographic), but the plan carries a tiny expression and K·N short
+    rows, so Catalyst analysis/codegen stays O(1) in K·dim — the literal
+    form spent more driver time compiling the expression than the
+    executors spent running it (guide §1.2 per-task work).
+
+    Input must carry (vec_id, qv); output is (vec_id, qv, cid, qdist)."""
+    spark = e.sparkSession
+    best = (
+        e.crossJoin(F.broadcast(_cents_df(spark, cents)))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(_qdist_col().alias("qdist"), F.col("cid").alias("cid"))
+            ).alias("best"),
+            F.first("qv").alias("qv"),
+        )
+    )
+    return best.select(
+        "vec_id",
+        "qv",
+        F.col("best.cid").alias("cid"),
+        F.col("best.qdist").alias("qdist"),
+    )
 
 
 def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int]]]:
@@ -138,7 +187,14 @@ def kmeans_assign(
     post-update centroids. Every arithmetic step is int64 (module
     docstring), so the DuckDB oracle (kmeans_sql — the same iterations
     unrolled as CTEs) matches bit-for-bit."""
-    e = _qemb(spark, sf_dir)
+    from spider_core_spark.textops.dedup import _stage
+
+    # staged cache (caller releases via release_staged_caches): the seed
+    # collect, every Lloyd-update collect and the caller's terminal action
+    # all reuse one materialization of the quantized vectors instead of
+    # re-scanning + re-quantizing per action (guide §5 caching: reused
+    # AND expensive relative to its tiny footprint — K·dim ints per row)
+    e = _stage(_qemb(spark, sf_dir))
     cents = [
         (int(r["vec_id"]), [int(x) for x in r["qv"]])
         for r in e.filter(F.col("vec_id") < k)
@@ -147,15 +203,9 @@ def kmeans_assign(
         .collect()
     ]
     for _ in range(iters):
-        best = _best_centroid(cents)
-        assigned = e.withColumn("cid", best["cid"]).select("vec_id", "qv", "cid")
+        assigned = _assign_join(e, cents).select("vec_id", "qv", "cid")
         cents = _update_centroids(assigned)
-    best = _best_centroid(cents)
-    return e.select(
-        "vec_id",
-        best["cid"].alias("cid"),
-        best["qdist"].alias("qdist"),
-    )
+    return _assign_join(e, cents).select("vec_id", "cid", "qdist")
 
 
 def _km_cte(k: int, iters: int) -> str:
@@ -223,9 +273,17 @@ def semantic_neardup(
     out of contract, which is SemDeDup's own published approximation.
     Cosine uses the proven cross-engine recipe from embedding_neardup
     (double dot summed left-to-right, round to 3 dp)."""
-    cells = kmeans_assign(spark, sf_dir, k=k, iters=iters).select("vec_id", "cid")
+    from spider_core_spark.sources.scan import read_parquet_spread
+    from spider_core_spark.textops.dedup import _stage
+
+    # staged (caller-released): the l/r self-join below evaluates its
+    # input twice — without the persist the whole kmeans assign expression
+    # (array_min over K centroid structs) would run twice per action
+    cells = _stage(
+        kmeans_assign(spark, sf_dir, k=k, iters=iters).select("vec_id", "cid")
+    )
     e = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_spread(spark, f"{sf_dir}/embeddings.parquet")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .join(cells, "vec_id")
     )
