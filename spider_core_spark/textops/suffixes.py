@@ -66,6 +66,34 @@ SA_LCP_CAP = 256  # reported dup_len cap == SA_DOC_PREFIX
 SA_ORACLE_ROUNDS = 21
 
 
+def _sa_docs(
+    spark: SparkSession, sf_dir: str, doc_prefix: int | None = SA_DOC_PREFIX
+) -> DataFrame:
+    """(doc_id, dt, t): truncated text and its sentinel-terminated form."""
+    from spider_core_spark.sources.scan import read_parquet_spread
+
+    docs = read_parquet_spread(spark, os.path.join(sf_dir, "documents.parquet"))
+    dt = F.coalesce(F.col("text"), F.lit(""))
+    if doc_prefix is not None:
+        dt = F.substring(dt, 1, doc_prefix)
+    return docs.select("doc_id", dt.alias("dt")).withColumn(
+        "t", F.concat(F.col("dt"), F.lit(SA_SENTINEL))
+    )
+
+
+def _sa_offsets(docs_t: DataFrame) -> DataFrame:
+    """(doc_id, t, off): global char offset of each doc under doc_id
+    order, via the two-phase grouped prefix sum (never a corpus window)."""
+    with_len = docs_t.select(
+        "doc_id", "t", F.lit(0).alias("_g"), F.length("t").alias("_len")
+    )
+    offs, release = with_group_prefix_sum(
+        with_len, ["_g"], ["doc_id"], "_len", "off"
+    )
+    stage_handle(release)
+    return offs
+
+
 def _sa_chars(
     spark: SparkSession, sf_dir: str, doc_prefix: int | None = SA_DOC_PREFIX
 ) -> tuple[DataFrame, DataFrame]:
@@ -75,20 +103,8 @@ def _sa_chars(
     truncated text WITHOUT the sentinel (for LCP extraction). Offsets
     ride the two-phase grouped prefix sum, never a whole-corpus window.
     """
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    dt = F.coalesce(F.col("text"), F.lit(""))
-    if doc_prefix is not None:
-        dt = F.substring(dt, 1, doc_prefix)
-    docs_t = docs.select("doc_id", dt.alias("dt")).withColumn(
-        "t", F.concat(F.col("dt"), F.lit(SA_SENTINEL))
-    )
-    with_len = docs_t.select(
-        "doc_id", "t", F.lit(0).alias("_g"), F.length("t").alias("_len")
-    )
-    offs, release = with_group_prefix_sum(
-        with_len, ["_g"], ["doc_id"], "_len", "off"
-    )
-    stage_handle(release)
+    docs_t = _sa_docs(spark, sf_dir, doc_prefix)
+    offs = _sa_offsets(docs_t)
     chars = offs.select(
         "doc_id",
         "off",
@@ -164,15 +180,137 @@ def suffix_ranks(
     return cur, total
 
 
+def _doc_chain_next_rank(docs_t: DataFrame) -> DataFrame:
+    """(doc_id, nr): rank of the NEXT document's start suffix among all
+    document-start suffixes of the concatenated corpus (0 for the last
+    document) — the cross-document tie-break for bounded in-document
+    suffixes (see suffix_array).
+
+    Computed by prefix doubling over the DOCUMENT sequence, treating each
+    sentinel-terminated doc string as one meta-character: the strings are
+    prefix-free (the sentinel appears only at the end), so plain string
+    order on ``t`` is the correct meta-character order, and the standard
+    doubling recursion over doc indices (missing continuation ranks 0 —
+    a chain that ends is a proper prefix of any equal-prefix continuation)
+    yields the chain order. Every round touches n_docs rows, not corpus
+    chars, so this costs ~nothing next to the one character-level rank."""
+    from spider_core_spark.operators.prefix import ReleaseHandle
+    from spider_core_spark.operators.rank import with_global_rank
+
+    base = docs_t.select("doc_id", "t")
+    idx, n_docs = with_global_rank(base, ["doc_id"], "i")
+    stage_handle(ReleaseHandle(idx.unpersist))
+    ranked, _, prev_rel = with_global_tie_rank(
+        idx.select("i", "t"), ["t"], "rnk", total=n_docs
+    )
+    cur = ranked.select("i", "rnk")
+    k = 1
+    while k <= n_docs:
+        nd = cur.agg(F.countDistinct("rnk").alias("d")).first()["d"]
+        if nd >= n_docs:
+            break
+        shifted = cur.select(
+            (F.col("i") - k).alias("i"), F.col("rnk").alias("rnk2")
+        )
+        joined = cur.join(shifted, "i", "left").fillna({"rnk2": 0})
+        nxt, _, rel = with_global_tie_rank(
+            joined, ["rnk", "rnk2"], "nrnk", total=n_docs
+        )
+        prev_rel()
+        prev_rel = rel
+        cur = nxt.select("i", F.col("nrnk").alias("rnk"))
+        k *= 2
+    stage_handle(ReleaseHandle(prev_rel))
+    nxt_rank = cur.select((F.col("i") - 1).alias("i"), F.col("rnk").alias("nr"))
+    return (
+        idx.select("doc_id", "i")
+        .join(nxt_rank, "i", "left")
+        .fillna({"nr": 0})
+        .select("doc_id", "nr")
+    )
+
+
+def _sa_suffixes(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_prefix: int | None = SA_DOC_PREFIX,
+    max_chars: int = SA_MAX_CHARS,
+) -> tuple[DataFrame, int]:
+    """(sufs, total): one row per suffix of the sentinel-terminated
+    corpus — (gpos, doc_id, loc, s, nr) with ``s`` the IN-DOCUMENT suffix
+    including its trailing sentinel and ``nr`` the next document's chain
+    rank. Refuses past ``max_chars`` exactly like suffix_ranks."""
+    docs_t = _sa_docs(spark, sf_dir, doc_prefix)
+    total = int(
+        docs_t.agg(F.sum(F.length("t")).alias("n")).first()["n"] or 0
+    )
+    if total > max_chars:
+        raise ValueError(
+            f"suffix_ranks: corpus is {total} chars > max_chars="
+            f"{max_chars}; a single global suffix array past one shard's "
+            f"worth of characters is the wrong deployment shape — build "
+            f"per-shard arrays in parallel (module docstring) or raise "
+            f"max_chars explicitly"
+        )
+    nr = _doc_chain_next_rank(docs_t)
+    offs = _sa_offsets(docs_t)
+    sufs = (
+        offs.select(
+            "doc_id",
+            "off",
+            "t",
+            F.explode(F.expr("sequence(0, length(t) - 1)")).alias("loc"),
+        )
+        .select(
+            (F.col("off") + F.col("loc")).cast("long").alias("gpos"),
+            "doc_id",
+            F.col("loc").cast("long").alias("loc"),
+            F.expr("substring(t, loc + 1)").alias("s"),
+        )
+        .join(F.broadcast(nr), "doc_id")
+    )
+    return sufs, total
+
+
+def _sa_ranked(
+    spark: SparkSession, sf_dir: str, defer: bool
+) -> DataFrame:
+    """Suffix-array ranks over the bounded-suffix frame: ONE global
+    tie-rank by (s, nr) instead of ~log2(longest repeat) prefix-doubling
+    rounds (each a corpus-wide join + global rank).
+
+    Why this is the same permutation the doubling recursion (and the
+    DuckDB oracle's unrolled form) produces: every in-document suffix
+    reaches its own sentinel within doc_prefix+1 chars, and the
+    sentinel-terminated strings are prefix-free, so comparing two corpus
+    suffixes first compares their bounded ``s`` strings; if those are
+    EQUAL the comparison continues exactly at the start of each one's
+    next document — i.e. by the chain rank ``nr``. Distinct suffixes
+    always differ in (s, nr): equal s with d1 ≠ d2 forces different
+    next-chains (chains from different start docs have different total
+    lengths, so they differ as strings), and within one document two
+    locs give different-length prefix-free s. Hence rank(s, nr) is a
+    1..total permutation equal to the character-level doubling result."""
+    from spider_core_spark.operators.prefix import ReleaseHandle
+
+    sufs, total = _sa_suffixes(spark, sf_dir)
+    ranked, _, rel = with_global_tie_rank(
+        sufs, ["s", "nr"], "rnk", total=total, defer=defer
+    )
+    stage_handle(ReleaseHandle(rel))
+    return ranked
+
+
 def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered: the first SA_TOPK entries of the generalized suffix
     array over documents (per-doc SA_DOC_PREFIX-char prefixes, sentinel
     separated) — (sa_rank, gpos, doc_id, loc). The FULL array is built;
-    only the returned slice is bounded."""
-    chars, _ = _sa_chars(spark, sf_dir)
-    ranks, _ = suffix_ranks(chars)
-    top = ranks.filter(F.col("rnk") <= SA_TOPK)
-    return top.join(chars.select("gpos", "doc_id", "loc"), "gpos").select(
+    only the returned slice is bounded. Ranks come from the one-shot
+    bounded-suffix order (_sa_ranked); the prefix-doubling builder
+    (suffix_ranks) remains the general-corpus path and the parity
+    reference (tests/test_suffixes.py pins both against brute force)."""
+    ranked = _sa_ranked(spark, sf_dir, defer=True)
+    return ranked.filter(F.col("rnk") <= SA_TOPK).select(
         F.col("rnk").cast("long").alias("sa_rank"),
         "gpos",
         "doc_id",
@@ -205,32 +343,23 @@ def suffix_maxdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_len is capped at SA_LCP_CAP (== the registered doc prefix) and
     truncates at document boundaries because LCP is computed on the
     sentinel-free truncated texts."""
-    chars, docs_t = _sa_chars(spark, sf_dir)
-    ranks, _ = suffix_ranks(chars)
-    sa = ranks.join(chars.select("gpos", "doc_id", "loc"), "gpos")
+    # the ranked frame already carries each suffix's bounded text ``s``
+    # (sentinel-terminated); stripping the sentinel yields exactly
+    # substring(dt, loc + 1, SA_LCP_CAP) — the two joins back to the
+    # documents table that the doubling-era shape needed are gone
+    sa = _sa_ranked(spark, sf_dir, defer=False)
+    strip = F.expr("substring(s, 1, length(s) - 1)")
     a = sa.select(
         "rnk",
         F.col("doc_id").alias("doc_a"),
-        F.col("loc").alias("loc_a"),
+        strip.alias("s_a"),
     )
     b = sa.select(
         (F.col("rnk") - 1).alias("rnk"),
         F.col("doc_id").alias("doc_b"),
-        F.col("loc").alias("loc_b"),
+        strip.alias("s_b"),
     )
-    ta = docs_t.select(F.col("doc_id").alias("doc_a"), F.col("dt").alias("dt_a"))
-    tb = docs_t.select(F.col("doc_id").alias("doc_b"), F.col("dt").alias("dt_b"))
-    pairs = (
-        a.join(b, "rnk")
-        .join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(f"substring(dt_a, loc_a + 1, {SA_LCP_CAP})").alias("s_a"),
-            F.expr(f"substring(dt_b, loc_b + 1, {SA_LCP_CAP})").alias("s_b"),
-        )
-    )
+    pairs = a.join(b, "rnk").select("doc_a", "doc_b", "s_a", "s_b")
     scored = pairs.select(
         "doc_a", "doc_b", _lcp_col(F.col("s_a"), F.col("s_b")).alias("dup_len")
     ).filter(F.col("dup_len") >= SA_MINLEN)
