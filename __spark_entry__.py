@@ -51,18 +51,69 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Driver-gate rotation (round-4 verdict "What's missing" #1): the driver
-# checks the first ~50 dict entries per round, so a static ordering left
-# 27 registered queries without a driver CORRECTNESS row across rounds
-# 1-4. Ordering here: the 39 never-driver-checked ids first (everything
-# absent from CORRECTNESS_r01-r04, including this round's additions),
-# then s7_robots_parse (changed this round — gained allow_str), then the
-# 12 ids whose only driver rows are from r1-r3 — so CORRECTNESS_r05 ∪
-# r04 covers the whole registry even at a hard 50-query cap, with the
-# stalest re-checks next in line. The r4-checked core follows in its
-# original order. (The local pytest replica, tests/test_entry_queries.py,
-# always runs all entries regardless of this ordering.)
+# Driver-gate rotation (r5 verdict "Next round" #1): the driver checks
+# the first ~50 dict entries per round. Round 6's front is exactly the
+# complement of CORRECTNESS_r05's 50 checked ids: text_corpus_stats
+# FIRST (the only id whose last driver row is the r3 hash FAIL — the
+# BIGINT-cast fix has passed the local replica since r5 but was never
+# driver-certified), then every id whose latest green row is r4
+# (stalest-first = their registry order). CORRECTNESS_r06 ∪ r05 then
+# covers the whole registry, keeping every id inside a trailing-two-
+# round green window. (The local pytest replica,
+# tests/test_entry_queries.py, always runs all entries regardless.)
 _GATE_FRONT = [
+    "text_corpus_stats",
+    "f0_seed_injection",
+    "f1_wave_order",
+    "f2_politeness_topk",
+    "f3_retry_gate",
+    "f5_recrawl_schedule",
+    "f6_pagerank_priority",
+    "g1_degree_histogram",
+    "j1_fetch_join",
+    "j1_left_misses",
+    "j2_anti_dedup",
+    "j5_anchor_agg",
+    "u1_union_distinct",
+    "u2_queue_salvage",
+    "p2_first_seen",
+    "p4_request_drop",
+    "p5_response_drop",
+    "s2_host_extract",
+    "s5_byte_format",
+    "s8_url_canonicalize",
+    "s9_sitemap_parse",
+    "p7_blocklist_filter",
+    "u3_hll_registers",
+    "u4_bloom_membership",
+    "f7_quality_priority",
+    "f8_trap_detect",
+    "a1_counters",
+    "a2_status_histogram",
+    "a3_timing_stats",
+    "a4_parse_timing",
+    "a6_sliding_rate",
+    "a6_ema",
+    "a7_pipeline_timing",
+    "a8_perhost_feedback",
+    "a9_latency_percentiles",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
+    "dedup_neardup_clusters",
+    "dedup_minhash_incremental",
+    "emb_kmeans",
+    "dedup_semantic",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    # --- past the ~50 cap: the r5-checked ids, in their r5 gate order,
+    # so queries() and oracle_sql() stay identically ordered end to end
     "s10_robots_sitemaps",
     "text_bpe_encode_udf",
     "text_suffix_array",
@@ -113,7 +164,6 @@ _GATE_FRONT = [
     "text_corpus_keepers",
     "text_corpus_sample",
     "text_repetition",
-    "text_corpus_stats",
 ]
 
 
