@@ -165,7 +165,14 @@ def select_wave(
         # longest-match precedence (Google's documented robots rule): the
         # most specific matching prefix wins; a tie goes to allow. With no
         # allow rules the longest matching allow is 0, so "longest
-        # disallow > 0" degenerates to the old exists() semantics exactly.
+        # disallow > 0" degenerates to the old exists() semantics — with
+        # one DOCUMENTED exception: an empty-string disallow prefix
+        # (impossible from parse_robots, which skips '', but expressible
+        # in a hand-built frame) was block-all under exists(startswith(''))
+        # and is a no-op here, because a zero-length match can never
+        # exceed the allow length. Empty prefixes carry no crawlable
+        # meaning in the robots grammar; hand-built frames should filter
+        # them out rather than rely on either reading (r5 ADVICE #3).
         def _longest_match(col: F.Column) -> F.Column:
             return F.coalesce(
                 F.aggregate(

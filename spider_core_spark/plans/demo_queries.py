@@ -18,9 +18,13 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from spider_core_spark.sources.scan import read_parquet_spread
-
-    return read_parquet_spread(spark, f"{sf_dir}/{name}.parquet")
+    # plain read on purpose: these demos are aggregate/join shaped, so
+    # their first shuffle already spreads the work — a measured A/B of
+    # scan.read_parquet_spread here LOST ~12 s across the 39 demos
+    # (repartition cost with no serialized narrow stage to unblock);
+    # the fan-out stays on the CPU-bound textops/document readers and is
+    # opted into per query where a sha-heavy narrow stage dominates (u4)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # --- F0/P1/S1-S4: seed injection + URL normalize/fingerprint/host ---------
@@ -1614,8 +1618,13 @@ def u4_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_positions_col,
         shard_col,
     )
+    from spider_core_spark.sources.scan import read_parquet_spread
 
-    o = _t(spark, sf_dir, "orders")
+    # fan-out opt-in: the sha256-per-probe pass below is the rare demo
+    # whose cost is a CPU-bound narrow stage on the scan itself
+    # (measured 2.65 s -> 1.74 s with the spread; see _t for why the
+    # other demos stay on plain reads)
+    o = read_parquet_spread(spark, f"{sf_dir}/orders.parquet")
     base = o.select(
         "o_orderkey",
         F.sha2(

@@ -127,11 +127,25 @@ def sitemap_urls(pages: DataFrame, text_col: str = "text") -> DataFrame:
     The per-host ordering window is bounded by a single robots body's
     line count (the 500 KiB robots convention caps it), never
     corpus-sized; extraction itself is a narrow per-body pass."""
-    lines = (
+    # one body per host BEFORE exploding (r5 ADVICE #2): when a host's
+    # robots.txt was fetched under two URLs (http + https — common in
+    # CC-style corpora), both bodies used to share one window partition
+    # with tied line_no values, making sm_seq nondeterministic; keep the
+    # min-url body, matching the one-body-per-host pure-Python twin
+    one_body = (
         robots_pages(pages)
         .select(
             urlfn.host_col(F.col("url")).alias("host"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            F.struct(F.col("url"), F.col(text_col).alias("_body")).alias("_b"),
+        )
+        .groupBy("host")
+        .agg(F.min("_b").alias("_b"))
+        .select("host", F.col("_b._body").alias("_body"))
+    )
+    lines = (
+        one_body.select(
+            "host",
+            F.posexplode(F.split(F.col("_body"), "\n")).alias(
                 "line_no", "line"
             ),
         )

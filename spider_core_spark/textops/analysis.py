@@ -2337,9 +2337,11 @@ def bpe_encode_udf(
     limits ~ a few hundred merges); here the merge table is a plain
     broadcast list (30k merges ≈ a few hundred KB pickled) and the
     per-word cost is pruned two ways —
-      * a per-executor memo keyed by the distinct word (Zipf: most
-        corpus mass is a small vocabulary, so most words tokenize
-        from the dict, zero fold work);
+      * a per-task memo keyed by the distinct word (created in
+        _tokenize per mapInPandas task, so amortization is per task's
+        batches, and its memory is re-paid per task — r5 ADVICE #4;
+        Zipf: most corpus mass is a small vocabulary, so most words
+        tokenize from the dict, zero fold work);
       * per un-memoized word, a merge pass runs only while both of
         its symbols are present in the word's current symbol set
         (set-membership skip), so a 30k-entry table costs ~the number

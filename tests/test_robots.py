@@ -159,3 +159,25 @@ def test_allow_longest_match_engine_vs_simulator(spark, tmp_path):
         "https://s.test/tie",
         "https://s.test/open",
     } <= got
+
+
+def test_sitemap_urls_two_url_host_deterministic(spark):
+    # r5 ADVICE #2: a host whose robots.txt was fetched under BOTH http
+    # and https must yield ONE deterministic directive sequence (the
+    # min-url body), not an interleaving of tied line_no values
+    body_http = "Sitemap: https://s.test/sm-http-1.xml\nSitemap: https://s.test/sm-http-2.xml\n"
+    body_https = "Sitemap: https://s.test/sm-https-1.xml\n"
+    rows = [
+        ("https://s.test/robots.txt", None, None, body_https, "en", 200),
+        ("http://s.test/robots.txt", None, None, body_http, "en", 200),
+    ]
+    pages = spark.createDataFrame(rows, schemas.PAGES)
+    got = sorted(
+        (r["sm_seq"], r["sitemap_url"])
+        for r in rb.sitemap_urls(pages).collect()
+    )
+    # min(url): 'http://...' < 'https://...' -> the http body wins whole
+    assert got == [
+        (0, "https://s.test/sm-http-1.xml"),
+        (1, "https://s.test/sm-http-2.xml"),
+    ]

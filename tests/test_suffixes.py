@@ -53,6 +53,20 @@ def test_suffix_ranks_match_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_bounded_suffix_rank_matches_bruteforce(spark, sf_dir):
+    # the registered queries' one-shot (s, nr) rank (r6 optimization) must
+    # reproduce the character-level doubling permutation EXACTLY — incl.
+    # the cross-document tie-breaks (docs 1 and 5 are byte-identical, so
+    # their suffixes order by the FOLLOWING documents' content)
+    out = {
+        r["gpos"]: r["sa_rank"]
+        for r in sx.suffix_array(spark, sf_dir).collect()
+    }
+    release_staged_caches()
+    want = _brute_ranks()
+    assert out == want  # SA_TOPK=4000 >> fixture size: the full array
+
+
 def test_suffix_maxdup_finds_exact_dup(spark, sf_dir, monkeypatch):
     # docs 1 and 5 are byte-identical (22 chars); doc 2 shares their
     # 19-char prefix "the cat sat on the ". SA order of the three loc-0
