@@ -359,7 +359,19 @@ def suffix_maxdup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         strip.alias("s_b"),
     )
-    pairs = a.join(b, "rnk").select("doc_a", "doc_b", "s_a", "s_b")
+    # exact prefilter before the expensive char-array LCP: dup_len ≥
+    # SA_MINLEN ⟺ s_a is ≥ SA_MINLEN chars AND the two SA_MINLEN-char
+    # prefixes are equal (a plain string comparison), so the zip_with
+    # LCP below runs only on pairs that WILL be reported — a tiny
+    # fraction of the |corpus| adjacent pairs — instead of all of them
+    same_prefix = (F.length("s_a") >= SA_MINLEN) & (
+        F.substring("s_a", 1, SA_MINLEN) == F.substring("s_b", 1, SA_MINLEN)
+    )
+    pairs = (
+        a.join(b, "rnk")
+        .filter(same_prefix)
+        .select("doc_a", "doc_b", "s_a", "s_b")
+    )
     scored = pairs.select(
         "doc_a", "doc_b", _lcp_col(F.col("s_a"), F.col("s_b")).alias("dup_len")
     ).filter(F.col("dup_len") >= SA_MINLEN)
