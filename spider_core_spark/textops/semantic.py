@@ -254,6 +254,7 @@ SELECT vec_id, cid, qd AS qdist FROM a{iters}
 
 # --------------------------------------------------------------- SemDeDup
 SEM_THRESHOLD = 0.35  # registered threshold (non-vacuous at sf0.01)
+_SEM_SALT = 32  # pair-join salt buckets per cell (parallelism = K × salt)
 
 
 def semantic_neardup(
@@ -287,8 +288,24 @@ def semantic_neardup(
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .join(cells, "vec_id")
     )
-    l = e.select(F.col("vec_id").alias("a"), "cid", F.col("v").alias("va"))
-    r = e.select(F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb"))
+    # salt the within-cell pair join (guide §2.5 hot keys): with the
+    # oracle-fixed K=8 the join key has 8 distinct values, so the
+    # O(cell²) cosine pass would use at most 8 tasks of the whole
+    # cluster — measured 97.6 s on a 20k-vector fixture. Replicating the
+    # left side across _SEM_SALT buckets and routing each right row to
+    # ONE deterministic bucket (hash of its vec_id) yields the identical
+    # pair set exactly once on K × _SEM_SALT tasks (29 s on the same
+    # fixture at salt=8, 22 s at salt=32; a wash at 2k vectors where the join is not the cost).
+    salt_r = F.pmod(F.xxhash64(F.col("b")), F.lit(_SEM_SALT)).cast("int")
+    l = e.select(
+        F.col("vec_id").alias("a"),
+        "cid",
+        F.col("v").alias("va"),
+        F.explode(F.expr(f"sequence(0, {_SEM_SALT - 1})")).alias("_s"),
+    )
+    r = e.select(
+        F.col("vec_id").alias("b"), "cid", F.col("v").alias("vb")
+    ).withColumn("_s", salt_r)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -296,7 +313,7 @@ def semantic_neardup(
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     cos = F.round(dot / (na * nb), 3)
     return (
-        l.join(r, "cid")
+        l.join(r, ["cid", "_s"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

@@ -194,16 +194,35 @@ def _doc_chain_next_rank(docs_t: DataFrame) -> DataFrame:
     a chain that ends is a proper prefix of any equal-prefix continuation)
     yields the chain order. Every round touches n_docs rows, not corpus
     chars, so this costs ~nothing next to the one character-level rank."""
-    from spider_core_spark.operators.prefix import ReleaseHandle
+    from spider_core_spark.operators.prefix import (
+        ReleaseHandle,
+        _jrdd_handles,
+        _persistent_ids,
+    )
     from spider_core_spark.operators.rank import with_global_rank
+
+    spark = docs_t.sparkSession
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # eager localCheckpoint per round (the suffix_ranks pattern): a
+        # doubling loop whose rounds reference the previous round TWICE
+        # (self-join on i + 2^k) grows the LOGICAL plan 2^rounds without a
+        # lineage break — ~16 rounds on a dup-heavy corpus stalls the
+        # driver in plan analysis before a single task runs (guide §7.3)
+        ids0 = _persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        handles = _jrdd_handles(spark, _persistent_ids(spark) - ids0)
+        stage_handle(ReleaseHandle(lambda: [h.unpersist() for h in handles]))
+        return out
 
     base = docs_t.select("doc_id", "t")
     idx, n_docs = with_global_rank(base, ["doc_id"], "i")
     stage_handle(ReleaseHandle(idx.unpersist))
-    ranked, _, prev_rel = with_global_tie_rank(
-        idx.select("i", "t"), ["t"], "rnk", total=n_docs
+    ranked, _, rel = with_global_tie_rank(
+        idx.select("i", "t"), ["t"], "rnk", total=n_docs, defer=True
     )
-    cur = ranked.select("i", "rnk")
+    cur = _ckpt(ranked.select("i", "rnk"))
+    rel()
     k = 1
     while k <= n_docs:
         nd = cur.agg(F.countDistinct("rnk").alias("d")).first()["d"]
@@ -214,13 +233,11 @@ def _doc_chain_next_rank(docs_t: DataFrame) -> DataFrame:
         )
         joined = cur.join(shifted, "i", "left").fillna({"rnk2": 0})
         nxt, _, rel = with_global_tie_rank(
-            joined, ["rnk", "rnk2"], "nrnk", total=n_docs
+            joined, ["rnk", "rnk2"], "nrnk", total=n_docs, defer=True
         )
-        prev_rel()
-        prev_rel = rel
-        cur = nxt.select("i", F.col("nrnk").alias("rnk"))
+        cur = _ckpt(nxt.select("i", F.col("nrnk").alias("rnk")))
+        rel()
         k *= 2
-    stage_handle(ReleaseHandle(prev_rel))
     nxt_rank = cur.select((F.col("i") - 1).alias("i"), F.col("rnk").alias("nr"))
     return (
         idx.select("doc_id", "i")
@@ -343,21 +360,29 @@ def suffix_maxdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_len is capped at SA_LCP_CAP (== the registered doc prefix) and
     truncates at document boundaries because LCP is computed on the
     sentinel-free truncated texts."""
+    from spider_core_spark.textops.dedup import _stage
+
     # the ranked frame already carries each suffix's bounded text ``s``
     # (sentinel-terminated); stripping the sentinel yields exactly
     # substring(dt, loc + 1, SA_LCP_CAP) — the two joins back to the
-    # documents table that the doubling-era shape needed are gone
-    sa = _sa_ranked(spark, sf_dir, defer=False)
+    # documents table that the doubling-era shape needed are gone.
+    # defer=True + a NARROW staged persist: the self-join below reads the
+    # ranked frame twice, but only (rnk, doc_id, stripped s) — caching
+    # the projection instead of the full frame (guide §2.3 project before
+    # the exchange) keeps gpos/loc/nr out of both the cache and the
+    # rnk shuffle
+    ranked = _sa_ranked(spark, sf_dir, defer=True)
     strip = F.expr("substring(s, 1, length(s) - 1)")
+    sa = _stage(ranked.select("rnk", "doc_id", strip.alias("sd")))
     a = sa.select(
         "rnk",
         F.col("doc_id").alias("doc_a"),
-        strip.alias("s_a"),
+        F.col("sd").alias("s_a"),
     )
     b = sa.select(
         (F.col("rnk") - 1).alias("rnk"),
         F.col("doc_id").alias("doc_b"),
-        strip.alias("s_b"),
+        F.col("sd").alias("s_b"),
     )
     # exact prefilter before the expensive char-array LCP: dup_len ≥
     # SA_MINLEN ⟺ s_a is ≥ SA_MINLEN chars AND the two SA_MINLEN-char
