@@ -1022,10 +1022,20 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # fold the first propagation round into initialization: label(v) =
+    # min(v, min neighbor) — identical to the state after one loop
+    # iteration from lbl=v, so the fixpoint is unchanged and one full
+    # join+checkpoint round is saved (near-dup components are mostly
+    # cliques, where this init IS already the fixpoint and the loop only
+    # runs its confirming pass). Every vertex appears as src in the
+    # bidirected edge list, so the groupBy loses no vertices.
     labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("v"),
+            F.least(F.col("src"), F.col("_mn")).alias("lbl"),
+        )
         .persist()
     )
     labels.count()
